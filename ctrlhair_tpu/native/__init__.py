@@ -1,0 +1,90 @@
+# Native (C++) components, loaded in-process via ctypes.
+#
+# The reference shells out to prebuilt binaries with file-based I/O
+# (`triangle`, `my_arap`; ref: triangle_wrap_hair.py:59-64,
+# generate_node.py:75-78).  Here the native code is a shared library built
+# from source in this package and called through ctypes — zero subprocesses,
+# zero temp files.
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, 'libctrlhair_native.so')
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the native library with g++. Returns True on success."""
+    global _build_failed
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH,
+             os.path.join(_DIR, 'arap.cpp')],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        _build_failed = True
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH) and not build_native():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.arap_solve_2d.restype = ctypes.c_int
+        lib.arap_solve_2d.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _lib = lib
+        return _lib
+
+
+def arap_solve(verts: np.ndarray, tris: np.ndarray,
+               constrained_idx: np.ndarray, constrained_pos: np.ndarray,
+               iterations: int = 100) -> np.ndarray | None:
+    """2-D ARAP deformation; returns deformed [V,2] or None if unavailable.
+
+    iterations=100 matches the reference (my_arap.cpp:183).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(verts, np.float64)
+    t = np.ascontiguousarray(tris, np.int32)
+    ci = np.ascontiguousarray(constrained_idx, np.int32)
+    cp = np.ascontiguousarray(constrained_pos, np.float64)
+    out = np.empty_like(v)
+    ret = lib.arap_solve_2d(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(t),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(ci),
+        cp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(iterations),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if ret != 0:
+        return None
+    return out

