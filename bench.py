@@ -1,0 +1,117 @@
+# Benchmark: full hair-edit throughput at 256px on one chip.
+#
+# Measures BASELINE config 1/2-style edits end to end on device:
+#   latent -> EigenGAN hair code -> SEAN code swap -> SEAN render ->
+#   morphology + Poisson blend  (one fused XLA program, batched).
+# Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+# vs_baseline = value / 50 (the >=50 edits/s/chip v5e target, BASELINE.md).
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ctrlhair_tpu.config import PipelineConfig
+    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+    from ctrlhair_tpu.pipeline.latent import Latent
+
+    batch = int(os.environ.get('BENCH_BATCH', '16'))
+    iters = int(os.environ.get('BENCH_ITERS', '20'))
+    warmup = 3
+
+    cfg = PipelineConfig()
+    log(f'devices: {jax.devices()}  batch={batch} iters={iters}')
+    t0 = time.time()
+    editor = HairEditorTPU(cfg, seed=0)
+    log(f'init params: {time.time() - t0:.1f}s')
+
+    # input image: first reference sample if available, else synthetic
+    img = None
+    for root in ('/root/reference/imgs',):
+        if os.path.isdir(root):
+            files = sorted(f for f in os.listdir(root)
+                           if f.endswith('.png'))
+            if files:
+                from ctrlhair_tpu.utils.image import read_rgb
+                img = read_rgb(os.path.join(root, files[0]))
+                break
+    if img is None:
+        img = np.random.default_rng(0).integers(
+            0, 255, (256, 256, 3), dtype=np.uint8)
+
+    t0 = time.time()
+    res = editor.analyze_image(img)
+    jax.block_until_ready(res['sean_codes'])
+    log(f'analyze (compile+run): {time.time() - t0:.1f}s')
+
+    # batched edit inputs: replicate codes/labels, vary the latent per item
+    from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
+    codes = jnp.tile(res['sean_codes'], (batch, 1, 1))
+    label = jnp.tile(res['label'], (batch, 1, 1))
+    img256 = jnp.clip(jnp.round(resize_bilinear_nhwc(
+        jnp.asarray(img, jnp.float32)[None], (256, 256))), 0, 255
+    ).astype(jnp.uint8)
+    face_img = jnp.tile(img256, (batch, 1, 1, 1))
+    lat = res['latent']
+    rng = np.random.default_rng(1)
+    latent = Latent(
+        hsv=jnp.asarray(rng.uniform([0, 0, 0], [179, 255, 255],
+                                    (batch, 3)), jnp.float32),
+        pca_std=jnp.asarray(rng.uniform(20, 120, (batch, 1)), jnp.float32),
+        curliness=jnp.asarray(rng.standard_normal((batch, 1)), jnp.float32),
+        texture=jnp.asarray(rng.standard_normal((batch, 8)), jnp.float32),
+        shape=jnp.tile(lat.shape, (batch, 1)),
+        face=jnp.tile(lat.face, (batch, 1)))
+
+    args = (editor.params, codes, latent, face_img, label, label)
+
+    t0 = time.time()
+    out = editor.output(*args)
+    jax.block_until_ready(out)
+    log(f'edit program compile+first run: {time.time() - t0:.1f}s')
+
+    for _ in range(warmup):
+        jax.block_until_ready(editor.output(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = editor.output(*args)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    edits_per_sec = batch * iters / dt
+    log(f'steady state: {dt:.3f}s for {batch * iters} edits')
+
+    # p50 single-edit latency
+    one = (editor.params, codes[:1], jax.tree_util.tree_map(
+        lambda x: x[:1], latent), face_img[:1], label[:1], label[:1])
+    jax.block_until_ready(editor.output(*one))
+    lats = []
+    for _ in range(10):
+        t1 = time.time()
+        jax.block_until_ready(editor.output(*one))
+        lats.append(time.time() - t1)
+    p50_ms = float(np.median(lats) * 1000)
+    log(f'p50 single-edit latency: {p50_ms:.1f} ms')
+
+    print(json.dumps({
+        'metric': 'edits_per_sec_256px_full_pipeline',
+        'value': round(edits_per_sec, 2),
+        'unit': 'edits/s/chip',
+        'vs_baseline': round(edits_per_sec / 50.0, 3),
+        'p50_single_edit_ms': round(p50_ms, 1),
+        'batch': batch,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -57,12 +57,19 @@ class PredictorConfig:
     lr: float = 0.002
     beta1: float = 0.5
     beta2: float = 0.999
+    # step-scheduled loss weights (ref: predictor_config.py:23,36-37);
+    # None = loss absent for this predictor
+    lambda_cls_curliness: Any = None
+    lambda_rgb: Any = dataclasses.field(default_factory=lambda: {0: 1.0})
+    lambda_pca_std: Any = dataclasses.field(default_factory=lambda: {0: 1.0})
 
 
 def curliness_predictor_config() -> PredictorConfig:
     return PredictorConfig(
         name='p002___curliness', hidden_dim=32, dropout=0.5,
-        predict_dict={'cls_curliness': 1}, total_step=7000)
+        predict_dict={'cls_curliness': 1}, total_step=7000,
+        lambda_cls_curliness={0: 1.0, 200: 0.1, 400: 0.01, 2500: 0.001},
+        lambda_rgb=None, lambda_pca_std=None)
 
 
 def rgb_predictor_config() -> PredictorConfig:

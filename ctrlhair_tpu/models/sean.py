@@ -270,7 +270,8 @@ class SEAN(nn.Module):
 
         (ref: pix2pix_model.py mode='style_code')
         """
-        code_map = self.zencoder(img)
+        # pool in f32: style codes are the precision-sensitive interface
+        code_map = self.zencoder(img).astype(jnp.float32)
         # pool at the code-map resolution (128x128 for 256 input)
         from ctrlhair_tpu.ops.resize import resize_nearest
         small = resize_nearest(label, code_map.shape[1:3])

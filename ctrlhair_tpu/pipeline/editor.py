@@ -76,14 +76,15 @@ class HairEditorTPU:
             'rgb_mean': jnp.zeros((1, 3)),
             'pca_std': jnp.zeros((1, 1)),
         }
+        jinit = lambda m: jax.jit(m.init)  # compile init: one XLA program
         return {
-            'sean': self.sean.init(k[0], img, label),
-            'bisenet': self.bisenet.init(k[1], img512),
-            'shape': self.shape_gen.init(k[2], hair, face),
-            'ct_gen': self.ct_gen.init(k[3], ct_data),
-            'ct_dis': self.ct_dis.init(k[4], code),
-            'rgb_pred': self.rgb_pred.init(k[5], code),
-            'curliness_pred': self.curliness_pred.init(k[6], code),
+            'sean': jinit(self.sean)(k[0], img, label),
+            'bisenet': jinit(self.bisenet)(k[1], img512),
+            'shape': jinit(self.shape_gen)(k[2], hair, face),
+            'ct_gen': jinit(self.ct_gen)(k[3], ct_data),
+            'ct_dis': jinit(self.ct_dis)(k[4], code),
+            'rgb_pred': jinit(self.rgb_pred)(k[5], code),
+            'curliness_pred': jinit(self.curliness_pred)(k[6], code),
             # median per-region style codes (ref: hair_editor.py:130-147);
             # zeros mean "no fallback available".
             'style_fallback': jnp.zeros(
