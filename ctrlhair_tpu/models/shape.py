@@ -111,10 +111,12 @@ class ShapeGenerator(nn.Module):
         cfg = self.cfg
         self.hair_encoder = MaskEncoder(cfg, cfg.hair_dim, cfg.g_norm,
                                         vae=cfg.vae_hair_mode,
+                                        hidden_in_channel=cfg.hidden_in_channel,
                                         train=self.train, dtype=self.dtype)
         self.face_encoder = MaskEncoder(cfg, cfg.face_dim, cfg.g_norm,
-                                        vae=False, train=self.train,
-                                        dtype=self.dtype)
+                                        vae=False,
+                                        hidden_in_channel=cfg.hidden_in_channel,
+                                        train=self.train, dtype=self.dtype)
         self.hair_decoder = MaskDecoder(cfg, 1, cfg.g_norm, train=self.train,
                                         dtype=self.dtype)
         self.face_decoder = MaskDecoder(cfg, 18, cfg.g_norm, train=self.train,

@@ -53,6 +53,14 @@ class Backend:
         self.input_sean_code = None    # [1,19,512]
         self.input_hair_feature = None
 
+    def crop_face(self, img_rgb: np.ndarray, save_path=None) -> np.ndarray:
+        """(ref: hair_editor.py:312-329)"""
+        out = self.editor.crop_face(np.asarray(img_rgb, np.uint8))
+        if save_path is not None:
+            from ctrlhair_tpu.utils.image import write_rgb
+            write_rgb(save_path, out)
+        return out
+
     # ------------------------------------------------------------- analysis
     def parse_img(self, img_rgb: np.ndarray, target_img: bool = False):
         res = self.editor.analyze_image(np.asarray(img_rgb, np.uint8))

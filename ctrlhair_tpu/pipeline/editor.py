@@ -219,6 +219,68 @@ class HairEditorTPU:
         self.output = jax.jit(self._output)
 
     # ----------------------------------------------------------- convenience
+    def crop_face(self, img_rgb: np.ndarray,
+                  output_size: Optional[int] = None) -> np.ndarray:
+        """Align+crop a face to the edit resolution (ref: hair_editor.py:312-
+        329); landmarks come from the parsing-centroid estimator instead of
+        dlib."""
+        import jax.numpy as jnp
+        from ctrlhair_tpu.ops.crop import recreate_aligned_image
+        from ctrlhair_tpu.ops.landmarks import estimate_landmarks_68
+
+        label512 = np.asarray(
+            self.parse(self.params, jnp.asarray(img_rgb)[None])[0])
+        lm68 = estimate_landmarks_68(label512) * img_rgb.shape[1]
+        out, _ = recreate_aligned_image(
+            img_rgb, lm68, output_size or self.cfg.edit_size)
+        return out
+
+    def get_hair_color(self, img_rgb: np.ndarray) -> np.ndarray:
+        """Mean RGB over the eroded hair region at 1024px
+        (ref: hair_editor.py:233-244)."""
+        from ctrlhair_tpu.ops.morphology import erode
+        from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc, \
+            resize_nearest
+
+        label512 = self.parse(self.params, jnp.asarray(img_rgb)[None])
+        label = resize_nearest(label512, (1024, 1024))[0]
+        img = resize_bilinear_nhwc(
+            jnp.asarray(img_rgb, jnp.float32)[None], (1024, 1024))[0]
+        hair = erode((label == HAIR_IDX).astype(jnp.float32), 19)
+        w = hair[..., None]
+        mean = jnp.sum(img * w, axis=(0, 1)) / jnp.maximum(
+            jnp.sum(w, axis=(0, 1)), 1.0)
+        return np.asarray(mean)
+
+    def generate_by_sean(self, face_codes: np.ndarray, hair_code: np.ndarray,
+                         target_label: np.ndarray) -> np.ndarray:
+        """Render with face codes + an overridden hair code
+        (ref: hair_editor.py:181-206)."""
+        codes = jnp.asarray(face_codes, jnp.float32)[None].at[
+            :, HAIR_IDX].set(jnp.asarray(hair_code, jnp.float32)[None])
+        img = self.render(self.params, codes,
+                          jnp.asarray(target_label, jnp.int32)[None])
+        return np.asarray(img[0])
+
+    def generate_instance_transfer_img(self, face_img, face_label, hair_img,
+                                       hair_label, target_label,
+                                       edit_latent=None) -> np.ndarray:
+        """Instance-level hair transfer: encode both images, swap the hair
+        code (optionally re-generated from an edited latent), render
+        (ref: hair_editor.py:208-231)."""
+        enc = lambda im, lb: self.sean.apply(
+            self.params['sean'],
+            jnp.asarray(im, jnp.float32)[None] / 127.5 - 1.0,
+            jnp.asarray(lb, jnp.int32)[None], method=self.sean.encode)
+        face_codes = enc(face_img, face_label)
+        hair_codes = (face_codes if hair_img is None
+                      else enc(hair_img, hair_label))
+        hair_code = hair_codes[0, HAIR_IDX]
+        if edit_latent is not None:
+            hair_code = self.feature(self.params, edit_latent)[0]
+        return self.generate_by_sean(np.asarray(face_codes[0]),
+                                     np.asarray(hair_code), target_label)
+
     def analyze_image(self, img_u8: np.ndarray):
         """Host entry: arbitrary-size uint8 RGB -> analysis dict (batch 1)."""
         s = self.cfg.edit_size
