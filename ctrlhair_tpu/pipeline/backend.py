@@ -38,9 +38,15 @@ class Backend:
         self.maximum_value_fe = maximum_value_fe
         self.blending = blending
         self.dist_translation = DistTranslation(table=hsv_table)
-        # deterministic orthonormal semantic directions (see latent.py)
-        self.shape_dirs = latent_ops.semantic_directions(SHAPE_DIM, 4)
-        self.texture_dirs = latent_ops.semantic_directions(TEXTURE_DIM, 2)
+        # semantic directions: curated pickles if available (the reference's
+        # texture_dir_used/shape_dir_used contract, hair_editor.py:82-119),
+        # else deterministic orthonormal defaults (see latent.py)
+        from ctrlhair_tpu.pipeline.direction_finder import load_directions
+        self.shape_dirs = (load_directions('model_trained/shape_dir_used')
+                           or latent_ops.semantic_directions(SHAPE_DIM, 4))
+        self.texture_dirs = (
+            load_directions('model_trained/texture_dir_used')
+            or latent_ops.semantic_directions(TEXTURE_DIM, 2))
         self._rng = np.random.default_rng(seed)
 
         self.input_img = None          # uint8 [256,256,3]

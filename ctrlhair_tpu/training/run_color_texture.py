@@ -1,0 +1,104 @@
+# Runnable color & texture branch training driver.
+#
+# Parity target: `python color_texture_branch/train.py -c 045` (ref:
+# train.py:37-160), rebuilt without import-time argparse: dataset batches
+# (or a synthetic fallback when no dataset is present), fused jitted train
+# step, optional ('dp','tp') mesh, tensorboard scalars, checkpoint/resume,
+# validation canvases through the frozen SEAN renderer.
+#
+# Usage: python -m ctrlhair_tpu.training.run_color_texture \
+#            --data-root dataset_info_ctrlhair --steps 650100
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--data-root', default='dataset_info_ctrlhair')
+    parser.add_argument('--out-dir',
+                        default='model_trained/color_texture/ctrlhair_tpu')
+    parser.add_argument('--steps', type=int, default=None)
+    parser.add_argument('--batch-size', type=int, default=None)
+    parser.add_argument('--dp', type=int, default=1,
+                        help='data-parallel devices')
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--synthetic', action='store_true',
+                        help='train on synthetic batches (smoke runs)')
+    args = parser.parse_args(argv)
+
+    from ctrlhair_tpu.config import ColorTextureConfig
+    from ctrlhair_tpu.parallel import mesh as pmesh
+    from ctrlhair_tpu.training.color_texture_trainer import (
+        ColorTextureTrainer, synthetic_batch)
+    from ctrlhair_tpu.training.loop import run_training
+
+    cfg = ColorTextureConfig()
+    total_steps = args.steps or cfg.total_step
+    batch_size = args.batch_size or cfg.total_batch_size
+    trainer = ColorTextureTrainer(cfg)
+    rng = jax.random.PRNGKey(args.seed)
+    state, predictor_params = trainer.init_state(rng)
+
+    dataset = None
+    if not args.synthetic and os.path.isdir(args.data_root):
+        try:
+            from ctrlhair_tpu.data.color_texture_dataset import (
+                ColorTextureDataset)
+            dataset = ColorTextureDataset(cfg, args.data_root)
+            if not dataset.train_keys:
+                dataset = None
+        except Exception as exc:
+            print(f'[run_color_texture] dataset unavailable ({exc}); '
+                  'falling back to synthetic batches')
+
+    host_rng = np.random.default_rng(args.seed)
+
+    def batch_fn(step):
+        if dataset is not None:
+            batch = dataset.training_batch(batch_size)
+            batch.pop('items', None)
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        return synthetic_batch(jax.random.PRNGKey(
+            int(host_rng.integers(2 ** 31))), cfg, batch_size)
+
+    mesh = None
+    if args.dp > 1:
+        mesh = pmesh.make_mesh(args.dp, tp=1)
+        state = jax.device_put(state, pmesh.replicated(mesh))
+        predictor_params = jax.device_put(predictor_params,
+                                          pmesh.replicated(mesh))
+        inner = batch_fn
+        batch_fn = lambda step: pmesh.shard_batch(inner(step), mesh)
+
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        state, metrics = run_training(
+            state, trainer.train_step, batch_fn, total_steps,
+            rng=jax.random.PRNGKey(args.seed + 1),
+            step_args=lambda: (predictor_params,),
+            log_dir=os.path.join(args.out_dir, 'logs'),
+            ckpt_dir=os.path.join(args.out_dir, 'checkpoints'),
+            model_save_step=20000, sample_step=25000, tag='color_texture')
+    print('[run_color_texture] done:',
+          {k: float(np.asarray(v)) for k, v in metrics.items()
+           if np.asarray(v).size == 1})
+    return state
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,148 @@
+# SEAN (pix2pix) generator training — the vendored path the reference keeps
+# in sean_codes/trainers/pix2pix_trainer.py:10-41 + pix2pix_model losses,
+# rebuilt as one fused jitted G/D step:
+#   G: hinge adversarial + per-layer feature matching (lambda_feat=10) +
+#      VGG19 perceptual (lambda_vgg=10)
+#   D: hinge on (label ++ image) pairs through the 2-scale PatchGAN.
+# Sync-BN across data-parallel replicas is the BatchNorm axis_name mechanism
+# (models/layers.py) instead of the reference's master/slave pipe reduce
+# (sync_batchnorm/batchnorm.py:50-80).
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ctrlhair_tpu.config import SEANConfig
+from ctrlhair_tpu.models.sean import SEAN
+from ctrlhair_tpu.models.sean_discriminator import (
+    MultiscaleDiscriminator, VGG19Features, vgg_preprocess)
+from ctrlhair_tpu.training import losses as L
+from ctrlhair_tpu.training.train_state import (
+    ModelOpt, adam, grads_finite, safe_apply_updates)
+from ctrlhair_tpu.utils.masks import label_to_one_hot
+
+
+@flax.struct.dataclass
+class SEANTrainState:
+    step: jnp.ndarray
+    gen: ModelOpt          # 'params' collection only
+    gen_stats: Any         # 'batch_stats' collection (sync-BN running stats)
+    dis: ModelOpt
+
+
+class SEANTrainer:
+    def __init__(self, cfg: SEANConfig, lambda_feat: float = 10.0,
+                 lambda_vgg: float = 10.0, lr_g: float = 1e-4,
+                 lr_d: float = 4e-4, use_vgg: bool = True,
+                 vgg_params: Optional[Any] = None):
+        self.cfg = cfg
+        self.lambda_feat = lambda_feat
+        self.lambda_vgg = lambda_vgg
+        self.model = SEAN(cfg)
+        self.dis = MultiscaleDiscriminator(
+            input_nc=cfg.semantic_nc + 3)
+        self.use_vgg = use_vgg
+        self.vgg = VGG19Features() if use_vgg else None
+        self.vgg_params = vgg_params
+        # TTUR betas (SPADE convention)
+        self.tx_g = adam(lr_g, 0.0, 0.9)
+        self.tx_d = adam(lr_d, 0.0, 0.9)
+        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    def init_state(self, rng: jax.Array) -> SEANTrainState:
+        cfg = self.cfg
+        k = jax.random.split(rng, 3)
+        s = cfg.crop_size
+        img = jnp.zeros((1, s, s, 3))
+        label = jnp.zeros((1, s, s), jnp.int32)
+        pair = jnp.zeros((1, s, s, cfg.semantic_nc + 3))
+        gen_v = self.model.init(k[0], img, label)
+        dis_p = self.dis.init(k[1], pair)
+        if self.use_vgg and self.vgg_params is None:
+            self.vgg_params = self.vgg.init(k[2], img)
+        return SEANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen=ModelOpt.create({'params': gen_v['params']}, self.tx_g),
+            gen_stats=gen_v.get('batch_stats', {}),
+            dis=ModelOpt.create(dis_p, self.tx_d))
+
+    def _dis_in(self, label_oh, img):
+        return jnp.concatenate([label_oh, img], axis=-1)
+
+    def _train_step(self, state: SEANTrainState,
+                    batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        """batch: {'image': [N,S,S,3] in [-1,1], 'label': [N,S,S] int}."""
+        img = batch['image']
+        label = batch['label']
+        label_oh = label_to_one_hot(label)
+
+        def generate(params_g):
+            variables = {'params': params_g['params'],
+                         'batch_stats': state.gen_stats}
+            codes = self.model.apply(variables, img, label,
+                                     method=self.model.encode)
+            out, updated = self.model.apply(
+                variables, label, codes, method=self.model.decode,
+                train=True, noise_rng=rng, mutable=['batch_stats'])
+            return out, updated['batch_stats']
+
+        # ---------------- G step
+        def g_loss_fn(params_g):
+            fake, new_stats = generate(params_g)
+            feats_fake = self.dis.apply(state.dis.params,
+                                        self._dis_in(label_oh, fake))
+            feats_real = self.dis.apply(state.dis.params,
+                                        self._dis_in(label_oh, img))
+            adv = sum(L.gan_loss_g('hinge', f[-1]) for f in feats_fake) \
+                / len(feats_fake)
+            fm = 0.0
+            for ff, fr in zip(feats_fake, feats_real):
+                for a, b in zip(ff[:-1], fr[:-1]):
+                    fm = fm + jnp.mean(jnp.abs(
+                        a - jax.lax.stop_gradient(b)))
+            fm = fm / len(feats_fake)
+            losses = {'adv': adv, 'feat': fm}
+            total = adv + self.lambda_feat * fm
+            if self.use_vgg:
+                vf = self.vgg.apply(self.vgg_params, vgg_preprocess(fake))
+                vr = self.vgg.apply(self.vgg_params, vgg_preprocess(img))
+                weights = [1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0]
+                vgg_l = sum(w * jnp.mean(jnp.abs(a - b))
+                            for w, a, b in zip(weights, vf, vr))
+                losses['vgg'] = vgg_l
+                total = total + self.lambda_vgg * vgg_l
+            return total, (losses, fake, new_stats)
+
+        (g_total, (g_losses, fake, new_stats)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.gen.params)
+
+        # ---------------- D step (fake detached)
+        fake_sg = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(params_d):
+            feats_fake = self.dis.apply(params_d,
+                                        self._dis_in(label_oh, fake_sg))
+            feats_real = self.dis.apply(params_d,
+                                        self._dis_in(label_oh, img))
+            loss = sum(L.gan_loss_d('hinge', r[-1], f[-1])
+                       for r, f in zip(feats_real, feats_fake)) \
+                / len(feats_fake)
+            return loss
+
+        d_total, d_grads = jax.value_and_grad(d_loss_fn)(state.dis.params)
+
+        finite = grads_finite(g_grads) & grads_finite(d_grads)
+        new_state = SEANTrainState(
+            step=state.step + 1,
+            gen=safe_apply_updates(state.gen, g_grads, self.tx_g, finite),
+            gen_stats=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new_stats,
+                state.gen_stats),
+            dis=safe_apply_updates(state.dis, d_grads, self.tx_d, finite))
+        metrics = {'g_total': g_total, 'd_total': d_total, 'finite': finite}
+        metrics.update({f'g/{k}': v for k, v in g_losses.items()})
+        return new_state, metrics

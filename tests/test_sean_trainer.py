@@ -1,0 +1,91 @@
+# SEAN pix2pix trainer: one fused G/D step on a tiny config.
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctrlhair_tpu.config import SEANConfig
+from ctrlhair_tpu.models.sean_discriminator import (
+    MultiscaleDiscriminator, NLayerDiscriminator, VGG19Features)
+from ctrlhair_tpu.training.sean_trainer import SEANTrainer
+
+TINY = SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64,
+                  use_ace_noise=True)
+
+
+def test_nlayer_discriminator_shapes(rng):
+    d = NLayerDiscriminator(ndf=8, input_nc=22)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 22)).astype(np.float32))
+    p = d.init(jax.random.PRNGKey(0), x)
+    feats = d.apply(p, x)
+    assert len(feats) == 5           # 4 intermediate + logits
+    assert feats[-1].shape[-1] == 1
+
+
+def test_multiscale_discriminator(rng):
+    d = MultiscaleDiscriminator(ndf=8, input_nc=22)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 22)).astype(np.float32))
+    p = d.init(jax.random.PRNGKey(0), x)
+    outs = d.apply(p, x)
+    assert len(outs) == 2
+    # second scale operates on 2x downsampled input (±1 from k4/p2 rounding)
+    assert abs(outs[1][0].shape[1] - outs[0][0].shape[1] // 2) <= 1
+
+
+def test_vgg19_slices(rng):
+    v = VGG19Features()
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    p = v.init(jax.random.PRNGKey(0), x)
+    slices = v.apply(p, x)
+    assert len(slices) == 5
+    assert slices[0].shape == (1, 64, 64, 64)     # relu1_1
+    assert slices[-1].shape[-1] == 512
+
+
+def test_vgg19_conversion_structure(rng):
+    torch = pytest.importorskip('torch')
+    from ctrlhair_tpu.models.sean_discriminator import (
+        convert_vgg19, _VGG19_CFG)
+    # build a torchvision-layout features state dict
+    sd = {}
+    feat_idx = 0
+    cin = 3
+    for v in _VGG19_CFG:
+        if v == 'M':
+            feat_idx += 1
+            continue
+        sd[f'{feat_idx}.weight'] = torch.randn(v, cin, 3, 3)
+        sd[f'{feat_idx}.bias'] = torch.zeros(v)
+        cin = v
+        feat_idx += 2
+    params = convert_vgg19(sd)
+    model = VGG19Features()
+    x = jnp.zeros((1, 32, 32, 3))
+    target = model.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(target) == \
+        jax.tree_util.tree_structure(
+            jax.tree_util.tree_map(jnp.asarray, params))
+
+
+def test_sean_train_step(rng):
+    tr = SEANTrainer(TINY, use_vgg=True)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = {
+        'image': jnp.asarray(
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32)) * 0.5,
+        'label': jnp.asarray(rng.integers(0, 19, (2, 64, 64)).astype(
+            np.int32)),
+    }
+    # snapshot before stepping: train_step donates the old state buffers
+    stats_before = jax.tree_util.tree_map(np.asarray, state.gen_stats)
+    new_state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert bool(metrics['finite'])
+    assert np.isfinite(float(metrics['g_total']))
+    assert np.isfinite(float(metrics['d_total']))
+    assert int(new_state.step) == 1
+    # running sync-BN stats moved
+    a = jax.tree_util.tree_leaves(stats_before)
+    b = jax.tree_util.tree_leaves(new_state.gen_stats)
+    assert any(not np.allclose(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))

@@ -84,7 +84,7 @@ def test_predictor_trainer_learns():
         if first is None:
             first = float(metrics['total'])
     assert float(metrics['total']) < first * 0.2
-    ev = tr.eval_metrics(state.model.params, batch)
+    ev = tr.eval_metrics(state.model.params, state.stats, batch)
     assert np.isfinite(float(ev['test/lambda_rgb']))
 
 
