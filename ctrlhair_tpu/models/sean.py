@@ -252,6 +252,31 @@ class SEANGenerator(nn.Module):
         return jnp.tanh(x).astype(jnp.float32)
 
 
+class ConvEncoder(nn.Module):
+    """Image -> (mu, logvar) VAE encoder — SEAN's style-variational path
+    (ref: sean_codes/models/networks/encoder.py:13-55).  Unused by the
+    editing runtime (like the reference), provided for training parity."""
+    cfg: SEANConfig
+    latent_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray):
+        ndf = self.cfg.ngf
+        x = img.astype(self.dtype)
+        chans = [ndf, ndf * 2, ndf * 4, ndf * 8, ndf * 8, ndf * 8]
+        for i, c in enumerate(chans):
+            x = TorchConv(c, 3, 2, 1, dtype=self.dtype,
+                          name=f'layer{i}')(x)
+            x = InstanceNorm(dtype=self.dtype)(x)
+            x = leaky_relu(x)
+        x = x.reshape(x.shape[0], -1)
+        mu = nn.Dense(self.latent_dim, dtype=self.dtype, name='fc_mu')(x)
+        logvar = nn.Dense(self.latent_dim, dtype=self.dtype,
+                          name='fc_var')(x)
+        return mu, logvar
+
+
 class SEAN(nn.Module):
     """Bundled Zencoder + generator with the two public entry points."""
     cfg: SEANConfig
