@@ -26,11 +26,13 @@ def main():
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
     from ctrlhair_tpu.pipeline.latent import Latent
 
-    batch = int(os.environ.get('BENCH_BATCH', '16'))
+    batch = int(os.environ.get('BENCH_BATCH', '32'))
     iters = int(os.environ.get('BENCH_ITERS', '20'))
     warmup = 3
 
-    cfg = PipelineConfig()
+    import dataclasses
+    cfg = PipelineConfig(
+        use_pallas_blend=os.environ.get('BENCH_PALLAS_BLEND', '0') == '1')
     log(f'devices: {jax.devices()}  batch={batch} iters={iters}')
     t0 = time.time()
     editor = HairEditorTPU(cfg, seed=0)
@@ -103,6 +105,36 @@ def main():
     p50_ms = float(np.median(lats) * 1000)
     log(f'p50 single-edit latency: {p50_ms:.1f} ms')
 
+    extra = {}
+    if os.environ.get('BENCH_EXTRA', '1') == '1':
+        # config-2-style: shape-refresh (mask decode) + render + blend
+        t0 = time.time()
+        m = editor.decode_mask(editor.params, latent.shape, latent.face)
+        jax.block_until_ready(m)
+        args_shape = (editor.params, codes, latent, face_img, label, m)
+        jax.block_until_ready(editor.output(*args_shape))
+        t0 = time.time()
+        for _ in range(max(iters // 2, 3)):
+            out = editor.output(*args_shape)
+        jax.block_until_ready(out)
+        extra['shape_edit_per_sec'] = round(
+            batch * max(iters // 2, 3) / (time.time() - t0), 2)
+
+        # analysis (parse + all encoders) throughput
+        a_args = (editor.params, img256, jnp.tile(
+            jnp.asarray(img)[None], (1, 1, 1, 1)))
+        imgs512 = jnp.tile(jnp.asarray(img)[None], (batch, 1, 1, 1))
+        imgs256 = jnp.tile(img256, (batch, 1, 1, 1))
+        jax.block_until_ready(
+            editor.analyze(editor.params, imgs256, imgs512)['sean_codes'])
+        t0 = time.time()
+        for _ in range(max(iters // 4, 2)):
+            r = editor.analyze(editor.params, imgs256, imgs512)
+        jax.block_until_ready(r['sean_codes'])
+        extra['analyze_per_sec'] = round(
+            batch * max(iters // 4, 2) / (time.time() - t0), 2)
+        log(f'extras: {extra}')
+
     print(json.dumps({
         'metric': 'edits_per_sec_256px_full_pipeline',
         'value': round(edits_per_sec, 2),
@@ -110,6 +142,7 @@ def main():
         'vs_baseline': round(edits_per_sec / 50.0, 3),
         'p50_single_edit_ms': round(p50_ms, 1),
         'batch': batch,
+        **extra,
     }))
 
 

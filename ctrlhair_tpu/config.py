@@ -193,4 +193,7 @@ class PipelineConfig:
     edit_size: int = 256
     blending: bool = True
     poisson_iterations: int = 200
+    # fused Pallas CG blend (ops/poisson_pallas); the XLA CG path is default
+    # until the Mosaic-compiled kernel matches it bit-tight on hardware
+    use_pallas_blend: bool = False
     compute_dtype: str = 'bfloat16'   # MXU-friendly activations dtype

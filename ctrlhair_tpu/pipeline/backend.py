@@ -246,6 +246,49 @@ class Backend:
             curliness=jnp.asarray(
                 self._rng.standard_normal((1, 1)), jnp.float32))
 
+    # ------------------------------------------------------------- batched
+    def output_batch(self, latents: Latent) -> np.ndarray:
+        """Render a BATCH of latents against the current input in one device
+        program (the reference renders one edit at a time; this is the
+        vmapped multi-edit path of BASELINE config 5).
+
+        latents: Latent with leading batch dim N -> [N, S, S, 3] uint8.
+        """
+        n = latents.texture.shape[0]
+        codes = jnp.tile(self.input_sean_code, (n, 1, 1))
+        mask = jnp.tile(jnp.asarray(self.cur_mask)[None], (n, 1, 1))
+        img = self.editor.edit_render(self.editor.params, codes, mask,
+                                      latents)
+        if self.blending:
+            face = jnp.tile(jnp.asarray(self.input_img)[None], (n, 1, 1, 1))
+            flabel = jnp.tile(jnp.asarray(self.input_mask)[None], (n, 1, 1))
+            out = self.editor.blend(self.editor.params, face, img, flabel,
+                                    mask)
+            return np.asarray(out)
+        return np.asarray(jnp.clip(
+            jnp.round(img * 127.5 + 127.5), 0, 255)).astype(np.uint8)
+
+    def interpolation_sweep(self, l1: Latent, l2: Latent,
+                            alphas) -> np.ndarray:
+        """Render latent interpolations for every alpha in one batch."""
+        lats = latent_ops.stack_latents(
+            [self.interpolate(l1, l2, float(a)) for a in np.asarray(alphas)])
+        return self.output_batch(lats)
+
+    def random_texture_sweep(self, n: int) -> np.ndarray:
+        """n random texture samples rendered in one batch."""
+        base = self.cur_latent
+        lats = Latent(
+            hsv=jnp.tile(base.hsv, (n, 1)),
+            pca_std=jnp.tile(base.pca_std, (n, 1)),
+            curliness=jnp.asarray(
+                self._rng.standard_normal((n, 1)), jnp.float32),
+            texture=jnp.asarray(
+                self._rng.standard_normal((n, TEXTURE_DIM)), jnp.float32),
+            shape=jnp.tile(base.shape, (n, 1)),
+            face=jnp.tile(base.face, (n, 1)))
+        return self.output_batch(lats)
+
     # ------------------------------------------------------------ mask edit
     @staticmethod
     def show_hair_region(mask, non_hair_value: int = 0):

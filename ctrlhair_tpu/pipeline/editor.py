@@ -186,10 +186,16 @@ class HairEditorTPU:
         res_dil = d13 * (1 - bg) + d5 * bg
         blend_mask = 1.0 - res_dil
 
-        def one(face_img, gen, m):
-            return poisson_blend(face_img.astype(jnp.float32), gen, m,
-                                 iterations=self.cfg.poisson_iterations)
-        out = jax.vmap(one)(face_img_u8, gen_u8f, blend_mask)
+        if self.cfg.use_pallas_blend:
+            from ctrlhair_tpu.ops.poisson_pallas import poisson_blend_fused
+            out = poisson_blend_fused(
+                face_img_u8.astype(jnp.float32), gen_u8f, blend_mask,
+                iterations=self.cfg.poisson_iterations)
+        else:
+            def one(face_img, gen, m):
+                return poisson_blend(face_img.astype(jnp.float32), gen, m,
+                                     iterations=self.cfg.poisson_iterations)
+            out = jax.vmap(one)(face_img_u8, gen_u8f, blend_mask)
         return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
     def _edit_render(self, params, sean_codes, label, latent: Latent,

@@ -161,6 +161,21 @@ def test_directly_change_hair_mask(loaded):
     assert got[5:25, 10:50].mean() > 0.9
 
 
+def test_output_batch_and_sweeps(loaded):
+    be = loaded
+    out = be.interpolation_sweep(be.cur_latent, be.target_latent,
+                                 [0.0, 0.5, 1.0])
+    assert out.shape == (3, 64, 64, 3) and out.dtype == np.uint8
+    rnd = be.random_texture_sweep(4)
+    assert rnd.shape == (4, 64, 64, 3)
+    # batch render of a single latent equals single output
+    import jax
+    single = be.output()
+    batch1 = be.output_batch(jax.tree_util.tree_map(
+        lambda x: x, be.cur_latent))
+    np.testing.assert_array_equal(single, batch1[0])
+
+
 def test_blending_path():
     cfg = tiny_cfg()
     be = Backend(maximum_value_fe=2.5, blending=True, cfg=cfg)
