@@ -1,0 +1,119 @@
+# Pallas triangle rasterizer for the mask-warp UV map.
+#
+# The XLA rasteriser (ops/warp.rasterize_uv) scans triangle chunks and
+# materialises [P, chunk] edge-function temporaries in HBM each step — tens
+# of GB of traffic at 672px.  This kernel tiles the pixel grid into VMEM
+# blocks and loops triangles on-core: per tile only the final (u, v) map is
+# written back.  Replaces the reference's Cython z-buffer rasteriser
+# (mesh_core.cpp:150-215) at TPU speed.
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 16
+
+
+def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, n_tris: int,
+            height: int, width: int):
+    th = out_u_ref.shape[0]
+    row0 = pl.program_id(0) * th
+    py = (jax.lax.broadcasted_iota(jnp.float32, (th, width), 0)
+          + jnp.float32(row0))
+    px = jax.lax.broadcasted_iota(jnp.float32, (th, width), 1)
+
+    ident_u = px / jnp.float32(width - 1)
+    ident_v = py / jnp.float32(height - 1)
+
+    def body(t, state):
+        found, u, v = state
+        ax = tri_ref[t, 0]
+        ay = tri_ref[t, 1]
+        bx = tri_ref[t, 2]
+        by = tri_ref[t, 3]
+        cx = tri_ref[t, 4]
+        cy = tri_ref[t, 5]
+        valid = tri_ref[t, 6] > 0.5
+
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        s = jnp.where(area >= 0, 1.0, -1.0)
+        inv_area = s / jnp.maximum(jnp.abs(area), 1e-12)
+
+        w_a = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * s
+        w_b = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * s
+        w_c = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * s
+        eps = -1e-6
+        inside = (w_a >= eps) & (w_b >= eps) & (w_c >= eps) & valid
+
+        alpha = w_a * inv_area
+        beta = w_b * inv_area
+        gamma = w_c * inv_area
+        u_tri = (alpha * uvt_ref[t, 0] + beta * uvt_ref[t, 2]
+                 + gamma * uvt_ref[t, 4])
+        v_tri = (alpha * uvt_ref[t, 1] + beta * uvt_ref[t, 3]
+                 + gamma * uvt_ref[t, 5])
+        new = inside & jnp.logical_not(found)
+        u = jnp.where(new, u_tri, u)
+        v = jnp.where(new, v_tri, v)
+        return found | inside, u, v
+
+    init = (jnp.zeros((th, width), bool), ident_u, ident_v)
+    _, u, v = jax.lax.fori_loop(0, n_tris, body, init)
+    out_u_ref[:] = u
+    out_v_ref[:] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('height', 'width', 'interpret'))
+def rasterize_uv_pallas(verts_dst: jnp.ndarray, tris: jnp.ndarray,
+                        uv: jnp.ndarray, height: int, width: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.warp.rasterize_uv: returns [H, W, 2] UV map.
+
+    verts_dst [V,2] px; tris [T,3] int32 (-1 padding rows); uv [V,2].
+    """
+    pad_h = (-height) % TILE_H
+    h_pad = height + pad_h
+
+    idx = jnp.maximum(tris, 0)
+    a = verts_dst[idx[:, 0]]
+    b = verts_dst[idx[:, 1]]
+    c = verts_dst[idx[:, 2]]
+    valid = (tris[:, 0] >= 0).astype(jnp.float32)[:, None]
+    tri_data = jnp.concatenate([a, b, c, valid,
+                                jnp.zeros_like(valid)], axis=1)  # [T, 8]
+    uv_data = jnp.concatenate(
+        [uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]],
+         jnp.zeros((tris.shape[0], 2), uv.dtype)], axis=1)       # [T, 8]
+
+    kern = functools.partial(_kernel, n_tris=tris.shape[0],
+                             height=height, width=width)
+    grid_spec = pl.GridSpec(
+        grid=(h_pad // TILE_H,),
+        in_specs=[
+            pl.BlockSpec(tri_data.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(uv_data.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_H, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_H, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    u, v = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((h_pad, width), jnp.float32),
+                   jax.ShapeDtypeStruct((h_pad, width), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tri_data.astype(jnp.float32), uv_data.astype(jnp.float32))
+    return jnp.stack([u[:height], v[:height]], axis=-1)

@@ -258,8 +258,17 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     tris_pad[:tris.shape[0]] = tris
     uv = (verts_src / (big - 1)).astype(np.float32)
 
-    uv_map = rasterize_uv(jnp.asarray(verts_dst, jnp.float32),
-                          jnp.asarray(tris_pad), jnp.asarray(uv), big, big)
+    backend = jax.default_backend()
+    if backend not in ('cpu',):
+        # on-accelerator: the fused Pallas rasteriser (VMEM-resident tiles)
+        from ctrlhair_tpu.ops.raster_pallas import rasterize_uv_pallas
+        uv_map = rasterize_uv_pallas(
+            jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
+            jnp.asarray(uv), big, big)
+    else:
+        uv_map = rasterize_uv(jnp.asarray(verts_dst, jnp.float32),
+                              jnp.asarray(tris_pad), jnp.asarray(uv),
+                              big, big)
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
     warped = (warped > 0.5)[pad:-pad, pad:-pad]
 

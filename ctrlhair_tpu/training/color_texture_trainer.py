@@ -27,10 +27,18 @@ from ctrlhair_tpu.training.train_state import (
 
 
 class ColorTextureTrainer:
-    """Builds models, state, and the jitted train_step."""
+    """Builds models, state, and the jitted train_step.
+
+    Pass `sean` + `sean_params` (a frozen SEAN model) to enable the
+    image-space hair reconstruction loss lambda_rec_img — the reference's
+    render-through-frozen-SEAN MSE over hair pixels that turns on at step
+    600k (ref: solver.py:270-299, config lambda_rec_img {0:0, 600000:1000});
+    its weight still follows the schedule, so enabling it early is harmless.
+    """
 
     def __init__(self, cfg: ColorTextureConfig,
-                 rgb_pred_cfg=None, curliness_pred_cfg=None):
+                 rgb_pred_cfg=None, curliness_pred_cfg=None,
+                 sean=None, sean_params=None, rec_img_subset: int = 4):
         from ctrlhair_tpu.config import (
             curliness_predictor_config, rgb_predictor_config)
         self.cfg = cfg
@@ -40,6 +48,9 @@ class ColorTextureTrainer:
         self.rgb_pred = Predictor(rgb_pred_cfg or rgb_predictor_config())
         self.curliness_pred = Predictor(
             curliness_pred_cfg or curliness_predictor_config())
+        self.sean = sean
+        self.sean_params = sean_params
+        self.rec_img_subset = rec_img_subset
         self.schedule = L.LossSchedule(cfg)
         self.tx_g = adam(cfg.lr_g, cfg.beta1, cfg.beta2)
         self.tx_d = adam(cfg.lr_d, cfg.beta1, cfg.beta2)
@@ -167,6 +178,20 @@ class ColorTextureTrainer:
                 weights)
             if cfg.gen_mode == 'eigengan':
                 lg['lambda_orthogonal'] = self.gen.orthogonal_loss(params_g)
+            if self.sean is not None and 'sean_code' in batch:
+                # render-through-frozen-SEAN hair reconstruction
+                # (ref: solver.py:270-299); a small subset for cost parity
+                from ctrlhair_tpu.constants import HAIR_IDX
+                k = min(self.rec_img_subset, batch['sean_code'].shape[0])
+                codes = batch['sean_code'][:k].at[:, HAIR_IDX].set(
+                    ae_out['code'][:k])
+                render = self.sean.apply(self.sean_params,
+                                         batch['label'][:k], codes,
+                                         method=self.sean.decode)
+                hair = (batch['label'][:k] == HAIR_IDX)[..., None]
+                diff = (batch['image'][:k] - render) ** 2 * hair
+                lg['lambda_rec_img'] = jnp.sum(diff) / jnp.maximum(
+                    jnp.sum(hair) * 3.0, 1.0)
             return sch.total(lg, step), lg
 
         (g_total, g_losses), g_grads = jax.value_and_grad(

@@ -45,6 +45,34 @@ def test_ct_trainer_step():
     assert _params_changed(new_state.dis.params, state2.dis.params)
 
 
+def test_ct_trainer_rec_img_loss():
+    import dataclasses
+    from ctrlhair_tpu.config import SEANConfig
+    from ctrlhair_tpu.models.sean import SEAN
+    sean_cfg = SEANConfig(crop_size=32, ngf=2, zencoder_ngf=2, style_dim=64)
+    sean = SEAN(sean_cfg)
+    img = jnp.zeros((1, 32, 32, 3))
+    lab = jnp.zeros((1, 32, 32), jnp.int32)
+    sean_params = sean.init(jax.random.PRNGKey(0), img, lab)
+    # schedule the image loss on from step 0 so one step exercises it
+    cfg = dataclasses.replace(TINY_CT, lambda_rec_img={0: 10.0})
+    tr = ColorTextureTrainer(cfg, sean=sean, sean_params=sean_params)
+    state, pred = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = dict(ct_batch(jax.random.PRNGKey(1), cfg, 4))
+    batch['sean_code'] = jnp.asarray(
+        rng.standard_normal((4, 19, 64)).astype(np.float32))
+    batch['label'] = jnp.asarray(
+        rng.integers(0, 19, (4, 32, 32)).astype(np.int32))
+    batch['image'] = jnp.asarray(
+        rng.standard_normal((4, 32, 32, 3)).astype(np.float32) * 0.3)
+    new_state, metrics = tr.train_step(state, batch, pred,
+                                       jax.random.PRNGKey(2))
+    assert 'g/lambda_rec_img' in metrics
+    assert np.isfinite(float(metrics['g/lambda_rec_img']))
+    assert bool(metrics['finite'])
+
+
 def test_ct_schedule_weights():
     from ctrlhair_tpu.training.losses import LossSchedule
     sch = LossSchedule(ColorTextureConfig())
