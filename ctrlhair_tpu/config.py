@@ -27,6 +27,9 @@ class SEANConfig:
     use_ace_noise: bool = False
     param_free_norm: str = 'syncbatch'  # 'syncbatch' | 'instance'
     spectral_norm: bool = True
+    # rematerialise each SPADE-resnet block in the backward pass: trades
+    # FLOPs for activation memory so training batches scale (jax.checkpoint)
+    remat_blocks: bool = False
 
     @property
     def start_size(self) -> int:

@@ -166,7 +166,8 @@ class SPADEResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, seg, style_codes, *, train=False, noise_rng=None):
+    def __call__(self, x, seg, style_codes, train=False, noise_rng=None):
+        # `train` stays positional so nn.remat can mark it static
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
 
@@ -228,25 +229,27 @@ class SEANGenerator(nn.Module):
             noise_rng, sub = jax.random.split(noise_rng)
             return sub
 
+        # optional per-block rematerialisation (jax.checkpoint) for training
+        block_cls = (nn.remat(SPADEResnetBlock,
+                              static_argnums=(4,))  # `train` kwarg position
+                     if (cfg.remat_blocks and train) else SPADEResnetBlock)
+
+        def block(name, fin, fout, x, seg, use_styles=True):
+            return block_cls(cfg, fin, fout, use_styles=use_styles,
+                             dtype=self.dtype, name=name)(
+                x, seg, style_codes, train, rng())
+
         segs = [s.astype(self.dtype) for s in seg_pyramid]
         x = TorchConv(16 * nf, 3, 1, 1, dtype=self.dtype, name='fc')(segs[0])
-        x = SPADEResnetBlock(cfg, 16 * nf, 16 * nf, dtype=self.dtype,
-                             name='head_0')(
-            x, segs[0], style_codes, train=train, noise_rng=rng())
+        x = block('head_0', 16 * nf, 16 * nf, x, segs[0])
         x = up(x)
-        x = SPADEResnetBlock(cfg, 16 * nf, 16 * nf, dtype=self.dtype,
-                             name='G_middle_0')(
-            x, segs[1], style_codes, train=train, noise_rng=rng())
-        x = SPADEResnetBlock(cfg, 16 * nf, 16 * nf, dtype=self.dtype,
-                             name='G_middle_1')(
-            x, segs[1], style_codes, train=train, noise_rng=rng())
+        x = block('G_middle_0', 16 * nf, 16 * nf, x, segs[1])
+        x = block('G_middle_1', 16 * nf, 16 * nf, x, segs[1])
         chans = [16 * nf, 8 * nf, 4 * nf, 2 * nf, 1 * nf]
         for i in range(4):
             x = up(x)
-            x = SPADEResnetBlock(
-                cfg, chans[i], chans[i + 1], use_styles=(i < 3),
-                dtype=self.dtype, name=f'up_{i}')(
-                x, segs[2 + i], style_codes, train=train, noise_rng=rng())
+            x = block(f'up_{i}', chans[i], chans[i + 1], x, segs[2 + i],
+                      use_styles=(i < 3))
         x = TorchConv(3, 3, 1, 1, dtype=self.dtype,
                       name='conv_img')(leaky_relu(x))
         return jnp.tanh(x).astype(jnp.float32)

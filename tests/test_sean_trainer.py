@@ -12,6 +12,21 @@ from ctrlhair_tpu.training.sean_trainer import SEANTrainer
 
 TINY = SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64,
                   use_ace_noise=True)
+TINY_REMAT = SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64,
+                        use_ace_noise=True, remat_blocks=True)
+
+
+def test_sean_train_step_with_remat(rng):
+    tr = SEANTrainer(TINY_REMAT, use_vgg=False)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = {
+        'image': jnp.asarray(
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32)) * 0.5,
+        'label': jnp.asarray(rng.integers(0, 19, (2, 64, 64)).astype(
+            np.int32)),
+    }
+    new_state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert bool(metrics['finite'])
 
 
 def test_nlayer_discriminator_shapes(rng):
