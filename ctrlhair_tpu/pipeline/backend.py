@@ -214,6 +214,25 @@ class Backend:
     def get_cur_mask(self):
         return mask_to_rgb(self.cur_mask, draw_type=1)
 
+    # ----------------------------------------------------- colour utilities
+    @staticmethod
+    def tensor_hsv_to_rgb(hsv) -> jnp.ndarray:
+        """uint8-range HSV -> RGB on device (ref: ui/backend.py:108-115)."""
+        from ctrlhair_tpu.utils.colorspace import hsv_to_rgb_u8
+        return hsv_to_rgb_u8(jnp.asarray(hsv)).astype(jnp.float32)
+
+    @staticmethod
+    def tensor_rgb_to_hsv(rgb) -> jnp.ndarray:
+        """uint8-range RGB -> HSV on device (ref: ui/backend.py:117-125)."""
+        from ctrlhair_tpu.utils.colorspace import rgb_to_hsv_u8
+        return rgb_to_hsv_u8(jnp.asarray(rgb)).astype(jnp.float32)
+
+    @staticmethod
+    def interpolate_hsv(hsv1, hsv2, alpha) -> jnp.ndarray:
+        """HSV lerp through RGB space (ref: ui/backend.py:323-332)."""
+        return latent_ops.interpolate_hsv(jnp.asarray(hsv1),
+                                          jnp.asarray(hsv2), alpha)
+
     # -------------------------------------------------------- interpolation
     def interpolate(self, l1: Latent, l2: Latent, alpha) -> Latent:
         res = latent_ops.interpolate(l1, l2, alpha)
