@@ -30,6 +30,10 @@ class SEANConfig:
     # rematerialise each SPADE-resnet block in the backward pass: trades
     # FLOPs for activation memory so training batches scale (jax.checkpoint)
     remat_blocks: bool = False
+    # compute conv_gamma/conv_beta(middle_avg) by folding the 3x3 kernel
+    # through the 19 region style vectors instead of convolving the dense
+    # 512-channel map — exact (linearity), ~27x fewer FLOPs on those convs
+    fold_style_convs: bool = True
 
     @property
     def start_size(self) -> int:

@@ -59,6 +59,24 @@ def test_sean_encode_decode_shapes(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
 
 
+def test_sean_folded_style_conv_equivalence(rng):
+    """The folded conv_gamma/conv_beta path must equal the dense conv path
+    bit-tightly (it is an exact linear-algebra identity)."""
+    import dataclasses
+    cfg_dense = dataclasses.replace(TINY_SEAN, fold_style_convs=False)
+    cfg_fold = dataclasses.replace(TINY_SEAN, fold_style_convs=True)
+    dense = SEAN(cfg_dense)
+    folded = SEAN(cfg_fold)
+    img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    label = _label(rng, 1, 64)
+    params = dense.init(jax.random.PRNGKey(0), img, label)
+    codes = jnp.asarray(rng.standard_normal((1, 19, 64)).astype(np.float32))
+    out_d = dense.apply(params, label, codes, method=dense.decode)
+    out_f = folded.apply(params, label, codes, method=folded.decode)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_f),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_sean_decode_jit_consistency(rng):
     model = SEAN(TINY_SEAN)
     img = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
