@@ -77,3 +77,16 @@ def test_editor_crop_face_runs():
     assert out.shape == (64, 64, 3)
     color = editor.get_hair_color(img)
     assert color.shape == (3,)
+
+    # instance-transfer render paths
+    rng = np.random.default_rng(3)
+    face_img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8).astype(
+        np.float32) / 127.5 - 1.0
+    label = rng.integers(0, 19, (64, 64)).astype(np.int32)
+    codes = rng.standard_normal((19, 64)).astype(np.float32)
+    hair_code = rng.standard_normal(64).astype(np.float32)
+    img1 = editor.generate_by_sean(codes, hair_code, label)
+    assert img1.shape == (64, 64, 3)
+    img2 = editor.generate_instance_transfer_img(
+        face_img, label, None, None, label)
+    assert img2.shape == (64, 64, 3)
