@@ -32,7 +32,7 @@ def main():
 
     import dataclasses
     cfg = PipelineConfig(
-        use_pallas_blend=os.environ.get('BENCH_PALLAS_BLEND', '0') == '1')
+        use_pallas_blend=os.environ.get('BENCH_PALLAS_BLEND', '1') == '1')
     log(f'devices: {jax.devices()}  batch={batch} iters={iters}')
     t0 = time.time()
     editor = HairEditorTPU(cfg, seed=0)
@@ -85,22 +85,29 @@ def main():
 
     for _ in range(warmup):
         jax.block_until_ready(editor.output(*args))
+    # vary the latent every call: measurement must reflect genuinely new work
+    variants = [latent.replace(texture=latent.texture + 0.01 * i)
+                for i in range(iters)]
     t0 = time.time()
-    for _ in range(iters):
-        out = editor.output(*args)
+    for i in range(iters):
+        out = editor.output(editor.params, codes, variants[i], face_img,
+                            label, label)
     jax.block_until_ready(out)
     dt = time.time() - t0
     edits_per_sec = batch * iters / dt
     log(f'steady state: {dt:.3f}s for {batch * iters} edits')
 
-    # p50 single-edit latency
-    one = (editor.params, codes[:1], jax.tree_util.tree_map(
-        lambda x: x[:1], latent), face_img[:1], label[:1], label[:1])
-    jax.block_until_ready(editor.output(*one))
+    # p50 single-edit latency — vary the latent each call so no layer of the
+    # stack can elide or overlap the computation
+    lat1 = jax.tree_util.tree_map(lambda x: x[:1], latent)
+    one = lambda l: editor.output(editor.params, codes[:1], l, face_img[:1],
+                                  label[:1], label[:1])
+    jax.block_until_ready(one(lat1))
     lats = []
-    for _ in range(10):
+    for i in range(10):
+        li = lat1.replace(texture=lat1.texture + 0.01 * i)
         t1 = time.time()
-        jax.block_until_ready(editor.output(*one))
+        jax.block_until_ready(one(li))
         lats.append(time.time() - t1)
     p50_ms = float(np.median(lats) * 1000)
     log(f'p50 single-edit latency: {p50_ms:.1f} ms')

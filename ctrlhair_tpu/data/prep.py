@@ -30,6 +30,27 @@ def _batched(items: Sequence, n: int):
         yield items[i:i + n]
 
 
+def crop_images(editor, in_dir: str, out_dir: str,
+                output_size: int = 256) -> int:
+    """Align + crop raw images into images_256/
+    (ref: dataset_scripts/script_crop.py).  Landmarks from the parsing
+    estimator; per-image failures are skipped like the reference's loop."""
+    os.makedirs(out_dir, exist_ok=True)
+    names = sorted(f for f in os.listdir(in_dir)
+                   if f.lower().endswith(('.png', '.jpg', '.jpeg')))
+    done = 0
+    for name in names:
+        try:
+            img = read_rgb(os.path.join(in_dir, name))
+            out = editor.crop_face(img, output_size=output_size)
+            write_rgb(os.path.join(
+                out_dir, os.path.splitext(name)[0] + '.png'), out)
+            done += 1
+        except Exception:
+            continue
+    return done
+
+
 def compute_masks(editor, image_dir: str, label_dir: str,
                   batch_size: int = 8) -> int:
     """images_256/*.png -> label/*.png via the jitted parser

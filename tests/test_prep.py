@@ -59,6 +59,16 @@ def test_compute_masks_and_codes(editor, mini_root):
     assert next(iter(landmarks.values())).shape == (81, 2)
 
 
+def test_crop_images(mini_root, editor, tmp_path):
+    img_dir = os.path.join(mini_root, 'ffhq', 'images_256')
+    out_dir = str(tmp_path / 'cropped')
+    n = prep.crop_images(editor, img_dir, out_dir, output_size=64)
+    assert n == 3
+    from PIL import Image
+    im = np.asarray(Image.open(os.path.join(out_dir, '00000.png')))
+    assert im.shape == (64, 64, 3)
+
+
 def test_sean_dataset_batches(mini_root, editor):
     img_dir = os.path.join(mini_root, 'ffhq', 'images_256')
     lab_dir = os.path.join(mini_root, 'ffhq', 'label')
