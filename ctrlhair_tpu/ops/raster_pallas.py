@@ -24,22 +24,23 @@ def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, n_tris: int,
             height: int, width: int):
     th = out_u_ref.shape[0]
     row0 = pl.program_id(0) * th
-    py = (jax.lax.broadcasted_iota(jnp.float32, (th, width), 0)
-          + jnp.float32(row0))
-    px = jax.lax.broadcasted_iota(jnp.float32, (th, width), 1)
+    # integer iota + cast: Mosaic does not lower float iota directly
+    py = (jax.lax.broadcasted_iota(jnp.int32, (th, width), 0)
+          + row0).astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1).astype(
+        jnp.float32)
 
     ident_u = px / jnp.float32(width - 1)
     ident_v = py / jnp.float32(height - 1)
 
+    # f32 masks throughout: Mosaic does not legalize i1-vector loop carries
     def body(t, state):
         found, u, v = state
-        ax = tri_ref[t, 0]
-        ay = tri_ref[t, 1]
-        bx = tri_ref[t, 2]
-        by = tri_ref[t, 3]
-        cx = tri_ref[t, 4]
-        cy = tri_ref[t, 5]
-        valid = tri_ref[t, 6] > 0.5
+        row = tri_ref[pl.ds(t, 1), :]        # [1, 8] dynamic row load
+        ax, ay = row[0, 0], row[0, 1]
+        bx, by = row[0, 2], row[0, 3]
+        cx, cy = row[0, 4], row[0, 5]
+        valid = row[0, 6]
 
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
         s = jnp.where(area >= 0, 1.0, -1.0)
@@ -49,21 +50,24 @@ def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, n_tris: int,
         w_b = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * s
         w_c = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * s
         eps = -1e-6
-        inside = (w_a >= eps) & (w_b >= eps) & (w_c >= eps) & valid
+        inside = (jnp.where(w_a >= eps, 1.0, 0.0)
+                  * jnp.where(w_b >= eps, 1.0, 0.0)
+                  * jnp.where(w_c >= eps, 1.0, 0.0) * valid)
 
         alpha = w_a * inv_area
         beta = w_b * inv_area
         gamma = w_c * inv_area
-        u_tri = (alpha * uvt_ref[t, 0] + beta * uvt_ref[t, 2]
-                 + gamma * uvt_ref[t, 4])
-        v_tri = (alpha * uvt_ref[t, 1] + beta * uvt_ref[t, 3]
-                 + gamma * uvt_ref[t, 5])
-        new = inside & jnp.logical_not(found)
-        u = jnp.where(new, u_tri, u)
-        v = jnp.where(new, v_tri, v)
-        return found | inside, u, v
+        uvrow = uvt_ref[pl.ds(t, 1), :]      # [1, 8]
+        u_tri = (alpha * uvrow[0, 0] + beta * uvrow[0, 2]
+                 + gamma * uvrow[0, 4])
+        v_tri = (alpha * uvrow[0, 1] + beta * uvrow[0, 3]
+                 + gamma * uvrow[0, 5])
+        new = inside * (1.0 - found)
+        u = u + new * (u_tri - u)
+        v = v + new * (v_tri - v)
+        return jnp.maximum(found, inside), u, v
 
-    init = (jnp.zeros((th, width), bool), ident_u, ident_v)
+    init = (jnp.zeros((th, width), jnp.float32), ident_u, ident_v)
     _, u, v = jax.lax.fori_loop(0, n_tris, body, init)
     out_u_ref[:] = u
     out_v_ref[:] = v
