@@ -1,0 +1,129 @@
+# Assemble a full editor parameter set from reference-trained checkpoints.
+#
+# Mirrors the reference's model-loading sweep (ref: hair_editor.py:45-119 +
+# my_parsing_util.py:38-44): SEAN netG, BiSeNet, color_texture Model_G /
+# Model_D, rgb + curliness predictors, shape Model_G — each converted via
+# convert.torch_import and merged over randomly-initialised defaults, so a
+# partial checkpoint directory still yields a runnable editor.
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _torch_load(path: str):
+    import torch
+    return torch.load(path, map_location='cpu', weights_only=False)
+
+
+def _to_tree(converted):
+    import jax.numpy as jnp
+    import jax
+    return jax.tree_util.tree_map(jnp.asarray, converted)
+
+
+def load_reference_params(editor, *,
+                          sean_path: Optional[str] = None,
+                          bisenet_path: Optional[str] = None,
+                          color_texture_ckpt: Optional[str] = None,
+                          shape_ckpt: Optional[str] = None,
+                          rgb_predictor_ckpt: Optional[str] = None,
+                          curliness_predictor_ckpt: Optional[str] = None,
+                          style_fallback_dir: Optional[str] = None
+                          ) -> Dict[str, Any]:
+    """Convert whatever reference checkpoints exist into editor.params.
+
+    Branch checkpoints are the reference's {'Model_G','Model_D',...} dicts
+    (ref: my_torchlib save_checkpoint payloads); DDP 'module.' prefixes are
+    stripped.  Returns the updated params dict (also set on the editor).
+    """
+    from ctrlhair_tpu.convert import torch_import as ti
+
+    params = dict(editor.params)
+    cfg = editor.cfg
+
+    if sean_path and os.path.exists(sean_path):
+        sd = _torch_load(sean_path)
+        if hasattr(sd, 'state_dict'):
+            sd = sd.state_dict()
+        params['sean'] = _to_tree(ti.convert_sean(
+            ti.strip_ddp_prefix(sd), ngf=cfg.sean.ngf,
+            semantic_nc=cfg.sean.semantic_nc,
+            style_dim=cfg.sean.style_dim))
+
+    if bisenet_path and os.path.exists(bisenet_path):
+        sd = ti.strip_ddp_prefix(_torch_load(bisenet_path))
+        params['bisenet'] = _to_tree(ti.convert_bisenet(sd))
+
+    if color_texture_ckpt and os.path.exists(color_texture_ckpt):
+        ckpt = _torch_load(color_texture_ckpt)
+        gen_sd = ti.strip_ddp_prefix(ckpt['Model_G'])
+        dis_sd = ti.strip_ddp_prefix(ckpt['Model_D'])
+        params['ct_gen'] = _to_tree(ti.convert_ct_generator(
+            gen_sd, cfg.color_texture.g_hidden_layer_num))
+        params['ct_dis'] = _to_tree(ti.convert_ct_discriminator(
+            dis_sd, cfg.color_texture.d_hidden_layer_num))
+
+    if shape_ckpt and os.path.exists(shape_ckpt):
+        ckpt = _torch_load(shape_ckpt)
+        gen_sd = ti.strip_ddp_prefix(ckpt['Model_G'])
+        params['shape'] = _to_tree(ti.convert_shape_generator(
+            gen_sd, cfg.shape.layer_num))
+
+    if rgb_predictor_ckpt and os.path.exists(rgb_predictor_ckpt):
+        ckpt = _torch_load(rgb_predictor_ckpt)
+        sd = ti.strip_ddp_prefix(ckpt.get('Predictor', ckpt))
+        params['rgb_pred'] = _to_tree(ti.convert_predictor(
+            sd, cfg.rgb_predictor.hidden_layer_num,
+            cfg.rgb_predictor.norm))
+
+    if curliness_predictor_ckpt and os.path.exists(curliness_predictor_ckpt):
+        ckpt = _torch_load(curliness_predictor_ckpt)
+        sd = ti.strip_ddp_prefix(ckpt.get('Predictor', ckpt))
+        params['curliness_pred'] = _to_tree(ti.convert_predictor(
+            sd, cfg.curliness_predictor.hidden_layer_num,
+            cfg.curliness_predictor.norm))
+
+    editor.params = params
+    if style_fallback_dir and os.path.isdir(style_fallback_dir):
+        editor.load_style_fallback(style_fallback_dir)
+    return editor.params
+
+
+def load_reference_tree(editor, root: str) -> Dict[str, Any]:
+    """Load from the reference's on-disk layout rooted at `root`
+    (ref paths: hair_editor.py:63,101, my_parsing_util.py:42,
+    base_options.py:21-26)."""
+    from ctrlhair_tpu.utils.checkpoint import latest_checkpoint_path
+
+    def branch_ckpt(subdir):
+        d = os.path.join(root, subdir, 'checkpoints')
+        if not os.path.isdir(d):
+            return None
+        manifest = os.path.join(d, 'latest_checkpoint')
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                return os.path.join(d, f.readline().strip())
+        cands = sorted(f for f in os.listdir(d) if f.endswith('.ckpt'))
+        return os.path.join(d, cands[-1]) if cands else None
+
+    return load_reference_params(
+        editor,
+        sean_path=os.path.join(
+            root, 'external_model_params', 'sean_checkpoints',
+            'CelebA-HQ_pretrained', 'latest_net_G.pth'),
+        bisenet_path=os.path.join(
+            root, 'external_model_params', 'face_parsing_79999_iter.pth'),
+        color_texture_ckpt=branch_ckpt(
+            'model_trained/color_texture/045__color_texture_final'),
+        shape_ckpt=branch_ckpt(
+            'model_trained/shape/054__succeed__049__gan_fake_0.5_from_noise'),
+        rgb_predictor_ckpt=branch_ckpt(
+            'model_trained/color_encoder/p004___pca_std'),
+        curliness_predictor_ckpt=branch_ckpt(
+            'model_trained/curliness_classifier/p002___curliness'),
+        style_fallback_dir=os.path.join(
+            root, 'sean_codes', 'styles_test', 'mean_style_code', 'median'))
