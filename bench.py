@@ -30,7 +30,6 @@ def main():
     iters = int(os.environ.get('BENCH_ITERS', '20'))
     warmup = 3
 
-    import dataclasses
     cfg = PipelineConfig(
         use_pallas_blend=os.environ.get('BENCH_PALLAS_BLEND', '1') == '1')
     log(f'devices: {jax.devices()}  batch={batch} iters={iters}')

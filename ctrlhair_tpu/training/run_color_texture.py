@@ -77,7 +77,8 @@ def main(argv=None):
         inner = batch_fn
         batch_fn = lambda step: pmesh.shard_batch(inner(step), mesh)
 
-    ctx = mesh if mesh is not None else _nullcontext()
+    import contextlib
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         state, metrics = run_training(
             state, trainer.train_step, batch_fn, total_steps,
@@ -90,14 +91,6 @@ def main(argv=None):
           {k: float(np.asarray(v)) for k, v in metrics.items()
            if np.asarray(v).size == 1})
     return state
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 if __name__ == '__main__':

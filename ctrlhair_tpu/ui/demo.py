@@ -21,6 +21,12 @@ def main(argv=None):
     parser.add_argument('--max-fe', type=float, default=2.0)
     args = parser.parse_args(argv)
 
+    import os
+    import sys
+    for path in (args.input, args.target):
+        if path and not os.path.exists(path):
+            parser.error(f'image not found: {path}')
+
     from ctrlhair_tpu.pipeline.backend import Backend
     backend = Backend(maximum_value_fe=max(args.max_fe, 2.5),
                       blending=not args.no_blending)
