@@ -41,9 +41,12 @@ def _laplacian_full(x: jnp.ndarray) -> jnp.ndarray:
     h, w, c = x.shape
     xx = x.transpose(2, 0, 1)[:, None]          # [C,1,H,W]
     k = jnp.asarray(_LAP_KERNEL)[None, None]
+    # HIGHEST precision: the default MXU conv path truncates inputs to bf16,
+    # which corrupts the solver's operator/rhs (~5e-2 absolute at 256px)
     y = jax.lax.conv_general_dilated(
         xx, k, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=jax.lax.Precision.HIGHEST)
     return y[:, 0].transpose(1, 2, 0)
 
 

@@ -59,23 +59,14 @@ def pallas_masked_cg(b_eff: jnp.ndarray, unk: jnp.ndarray, x0: jnp.ndarray,
         r0 = (b - a_op(x0)) * unk
         rs0 = jnp.sum(r0 * r0)
 
-        restart = 25   # periodic true-residual restart: f32 recursive
-                       # residuals drift; without this CG stalls ~1e-3
-
         def body(i, state):
             x, r, p, rs = state
             ap = a_op(p)
             alpha = rs / (jnp.sum(p * ap) + 1e-20)
             x = x + alpha * p
             r = r - alpha * ap
-
-            def fresh(xx):
-                return (b - a_op(xx)) * unk
-
-            r = jax.lax.cond((i + 1) % restart == 0, fresh, lambda _: r, x)
             rs_new = jnp.sum(r * r)
-            beta = jax.lax.cond((i + 1) % restart == 0,
-                                lambda: 0.0, lambda: rs_new / (rs + 1e-20))
+            beta = rs_new / (rs + 1e-20)
             p = r + beta * p
             return x, r, p, rs_new
 
@@ -105,6 +96,8 @@ def poisson_blend_fused(source: jnp.ndarray, target: jnp.ndarray,
     (mask!=0 receives source gradients).  Same system semantics as
     ops.poisson.poisson_blend (ref: poisson_blending.py:29-87).
     """
+    if not interpret and jax.default_backend() == 'cpu':
+        interpret = True   # Mosaic kernels need the interpreter off-TPU
     gamma = 2.2 if with_gamma else 1.0
     src = jnp.power(jnp.maximum(source.astype(jnp.float32), 0.0), 1.0 / gamma)
     tgt = jnp.power(jnp.maximum(target.astype(jnp.float32), 0.0), 1.0 / gamma)
