@@ -41,11 +41,25 @@ from ctrlhair_tpu.utils.masks import (
     label_to_one_hot, one_hot_to_label, split_hair_face)
 
 
+def enable_compilation_cache(path: str = '/tmp/ctrlhair_xla_cache') -> None:
+    """Persistent XLA compilation cache: first-run compiles of the fused
+    pipeline programs take minutes over the device tunnel; cached reloads
+    take seconds.  Safe to call multiple times."""
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    except Exception:
+        pass
+
+
 class HairEditorTPU:
     """Holds model defs + params and exposes jitted pipeline stages."""
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
-                 params: Optional[Dict[str, Any]] = None, seed: int = 0):
+                 params: Optional[Dict[str, Any]] = None, seed: int = 0,
+                 compilation_cache: bool = True):
+        if compilation_cache:
+            enable_compilation_cache()
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
         self.sean = SEAN(cfg.sean, dtype=dtype)
