@@ -177,6 +177,32 @@ def compute_color_variance(catalog: DataCatalog, out_path: str
     return out
 
 
+def compute_mean_style_codes(sean_codes: Dict[str, np.ndarray],
+                             out_dir: Optional[str] = None) -> np.ndarray:
+    """Per-class median (and mean) SEAN style codes across a dataset
+    (ref: sean_codes/get_mean_code.py:15-43) — the fallback codes for
+    regions absent from an input mask (hair_editor.py:130-147).
+
+    Zero code vectors (region absent in that image) are excluded from the
+    statistics.  Writes median/<class>/ACE.npy when out_dir is given, the
+    layout HairEditorTPU.load_style_fallback consumes.  Returns the
+    [19, style_dim] median array.
+    """
+    stacked = np.stack(list(sean_codes.values()))       # [N, 19, D]
+    medians = np.zeros(stacked.shape[1:], np.float32)
+    for cls in range(stacked.shape[1]):
+        rows = stacked[:, cls]
+        present = rows[np.abs(rows).sum(axis=1) > 0]
+        if len(present):
+            medians[cls] = np.median(present, axis=0)
+    if out_dir:
+        for cls in range(len(medians)):
+            d = os.path.join(out_dir, 'median', str(cls))
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, 'ACE.npy'), medians[cls])
+    return medians
+
+
 def compute_landmarks(editor, catalog: DataCatalog, out_path: str
                       ) -> Dict[str, np.ndarray]:
     """Per-image 81-point landmarks -> landmark81.pkl

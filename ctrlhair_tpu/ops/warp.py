@@ -275,6 +275,29 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     return naive_transfer(warped * HAIR_IDX, face_parsing)
 
 
+def warp_for_image_with_idx(catalog, landmark_dict, hair_key: str,
+                            face_key: str,
+                            use_arap: bool = True) -> np.ndarray:
+    """Catalogue-driven warp for preprocessed datasets
+    (ref: wrap_codes/mask_adaptor.py:146-172): label maps from disk,
+    landmarks from the precomputed landmark81 dict, composite parsing out.
+    """
+    from PIL import Image
+
+    from ctrlhair_tpu.ops.resize import resize_nearest
+
+    hair = np.asarray(Image.open(catalog.label_path(hair_key))).astype(
+        np.int32)
+    face = np.asarray(Image.open(catalog.label_path(face_key))).astype(
+        np.int32)
+    size = 512
+    hair512 = np.asarray(resize_nearest(jnp.asarray(hair), (size, size)))
+    face512 = np.asarray(resize_nearest(jnp.asarray(face), (size, size)))
+    return hair_mask_transfer_warp(
+        hair512, face512, np.asarray(landmark_dict[hair_key]),
+        np.asarray(landmark_dict[face_key]), use_arap=use_arap)
+
+
 def warp_hair_mask_between_images(hair_img: np.ndarray,
                                   face_img: np.ndarray, editor,
                                   use_arap: bool = True) -> np.ndarray:

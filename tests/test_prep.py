@@ -59,6 +59,33 @@ def test_compute_masks_and_codes(editor, mini_root):
     assert next(iter(landmarks.values())).shape == (81, 2)
 
 
+def test_mean_style_codes(tmp_path):
+    rng = np.random.default_rng(0)
+    codes = {f'k{i}': rng.standard_normal((19, 8)).astype(np.float32)
+             for i in range(5)}
+    codes['k0'][3] = 0.0   # class 3 absent in one image
+    med = prep.compute_mean_style_codes(codes, str(tmp_path))
+    assert med.shape == (19, 8)
+    # median of class 3 excludes the zero row
+    rows = np.stack([codes[f'k{i}'][3] for i in range(1, 5)])
+    np.testing.assert_allclose(med[3], np.median(rows, axis=0), atol=1e-6)
+    assert os.path.exists(tmp_path / 'median' / '13' / 'ACE.npy')
+    # round-trips into the editor fallback loader layout
+    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+
+
+def test_warp_for_image_with_idx(mini_root, editor):
+    img_dir = os.path.join(mini_root, 'ffhq', 'images_256')
+    lab_dir = os.path.join(mini_root, 'ffhq', 'label')
+    prep.compute_masks(editor, img_dir, lab_dir, batch_size=2)
+    cat = DataCatalog(mini_root, ['ffhq'], validity_check=False)
+    lms = prep.compute_landmarks(editor, cat, '')
+    from ctrlhair_tpu.ops.warp import warp_for_image_with_idx
+    out = warp_for_image_with_idx(cat, lms, cat.items[0], cat.items[1],
+                                  use_arap=False)
+    assert out.shape == (512, 512)
+
+
 def test_crop_images(mini_root, editor, tmp_path):
     img_dir = os.path.join(mini_root, 'ffhq', 'images_256')
     out_dir = str(tmp_path / 'cropped')
