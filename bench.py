@@ -139,6 +139,25 @@ def main():
         jax.block_until_ready(r['sean_codes'])
         extra['analyze_per_sec'] = round(
             batch * max(iters // 4, 2) / (time.time() - t0), 2)
+
+        # config 4: full pipeline from a 1024px input (crop + parse + edit
+        # + blend), single image end to end
+        big = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(
+            jnp.asarray(img, jnp.float32)[None], (1024, 1024))[0]),
+            0, 255)).astype(np.uint8)
+        editor.crop_face(big)   # compile warm-up
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            cropped = editor.crop_face(big)
+            r1 = editor.analyze_image(cropped)
+            out = editor.output(
+                editor.params, r1['sean_codes'],
+                jax.tree_util.tree_map(lambda x: x[:1], latent),
+                jnp.asarray(cropped)[None], r1['label'], r1['label'])
+            jax.block_until_ready(out)
+        extra['full_1024_input_ms'] = round(
+            (time.time() - t0) / reps * 1000, 1)
         log(f'extras: {extra}')
 
     print(json.dumps({
