@@ -86,6 +86,23 @@ def _perspective_from_quad(quad: np.ndarray) -> np.ndarray:
     return np.append(h, 1.0).reshape(3, 3)
 
 
+def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Per-channel gaussian blur matching scipy.ndimage semantics
+    (truncate=4); routed through cv2's optimised separable filter when
+    available (the scipy path is ~10x slower at 1024px)."""
+    if sigma <= 0:
+        return img
+    try:
+        import cv2
+        radius = int(4.0 * sigma + 0.5)
+        k = 2 * radius + 1
+        return cv2.GaussianBlur(img, (k, k), sigmaX=sigma, sigmaY=sigma,
+                                borderType=cv2.BORDER_REFLECT)
+    except ImportError:
+        import scipy.ndimage
+        return scipy.ndimage.gaussian_filter(img, [sigma, sigma, 0])
+
+
 def recreate_aligned_image(img: np.ndarray, lm_68: np.ndarray,
                            output_size: int = 1024,
                            enable_padding: bool = True
@@ -97,8 +114,6 @@ def recreate_aligned_image(img: np.ndarray, lm_68: np.ndarray,
     median pull for out-of-bounds regions, quad resample, and projective
     landmark reprojection.
     """
-    import scipy.ndimage
-
     img = np.asarray(img)
     quad, qsize = crop_quad_from_landmarks(lm_68)
     points = np.asarray(lm_68, np.float64)
@@ -148,7 +163,7 @@ def recreate_aligned_image(img: np.ndarray, lm_68: np.ndarray,
             1.0 - np.minimum(np.float32(yg) / max(pad[1], 1),
                              np.float32(h - 1 - yg) / max(pad[3], 1)))
         blur = qsize * 0.02
-        imgf += (scipy.ndimage.gaussian_filter(imgf, [blur, blur, 0])
+        imgf += (_gaussian_blur(imgf, blur)
                  - imgf) * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
         imgf += (np.median(imgf, axis=(0, 1)) - imgf) * np.clip(mask, 0, 1)
         img = np.uint8(np.clip(np.rint(imgf), 0, 255))

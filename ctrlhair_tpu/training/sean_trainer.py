@@ -21,9 +21,12 @@ from ctrlhair_tpu.models.sean import SEAN
 from ctrlhair_tpu.models.sean_discriminator import (
     MultiscaleDiscriminator, VGG19Features, vgg_preprocess)
 from ctrlhair_tpu.training import losses as L
+from ctrlhair_tpu.models.layers import spectral_normalize_tree
 from ctrlhair_tpu.training.train_state import (
     ModelOpt, adam, grads_finite, safe_apply_updates)
 from ctrlhair_tpu.utils.masks import label_to_one_hot
+
+import numpy as np
 
 
 @flax.struct.dataclass
@@ -32,6 +35,27 @@ class SEANTrainState:
     gen: ModelOpt          # 'params' collection only
     gen_stats: Any         # 'batch_stats' collection (sync-BN running stats)
     dis: ModelOpt
+    sn_u: Any = None       # spectral-norm power-iteration vectors (or None)
+
+
+def _sn_u_template(gen_params, rng: jax.Array):
+    """Power-iteration vector per spectral-normed SEAN conv kernel
+    (conv_0/conv_1/conv_s, ref: architecture.py:40-45); None elsewhere."""
+    flat = jax.tree_util.tree_flatten_with_path(gen_params)[0]
+    treedef = jax.tree_util.tree_structure(gen_params)
+    leaves = []
+    for path, leaf in flat:
+        names = [str(getattr(p, 'key', p)) for p in path]
+        is_sn = (any(n in ('conv_0', 'conv_1', 'conv_s') for n in names)
+                 and names[-1] == 'kernel' and leaf.ndim == 4)
+        if is_sn:
+            rng, sub = jax.random.split(rng)
+            k = int(np.prod(leaf.shape[:-1]))
+            u = jax.random.normal(sub, (k,), jnp.float32)
+            leaves.append(u / (jnp.linalg.norm(u) + 1e-12))
+        else:
+            leaves.append(None)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 class SEANTrainer:
@@ -64,11 +88,14 @@ class SEANTrainer:
         dis_p = self.dis.init(k[1], pair)
         if self.use_vgg and self.vgg_params is None:
             self.vgg_params = self.vgg.init(k[2], img)
+        sn_u = (_sn_u_template(gen_v['params'], k[2])
+                if self.cfg.spectral_norm else None)
         return SEANTrainState(
             step=jnp.zeros((), jnp.int32),
             gen=ModelOpt.create({'params': gen_v['params']}, self.tx_g),
             gen_stats=gen_v.get('batch_stats', {}),
-            dis=ModelOpt.create(dis_p, self.tx_d))
+            dis=ModelOpt.create(dis_p, self.tx_d),
+            sn_u=sn_u)
 
     def _dis_in(self, label_oh, img):
         return jnp.concatenate([label_oh, img], axis=-1)
@@ -81,7 +108,13 @@ class SEANTrainer:
         label_oh = label_to_one_hot(label)
 
         def generate(params_g):
-            variables = {'params': params_g['params'],
+            inner = params_g['params']
+            if state.sn_u is not None:
+                # functional spectral norm on conv_0/1/s kernels
+                # (ref: torch spectral_norm on SEAN convs); power-iteration
+                # state updates outside the grad path
+                inner, _ = spectral_normalize_tree(inner, state.sn_u)
+            variables = {'params': inner,
                          'batch_stats': state.gen_stats}
             codes = self.model.apply(variables, img, label,
                                      method=self.model.encode)
@@ -136,13 +169,19 @@ class SEANTrainer:
         d_total, d_grads = jax.value_and_grad(d_loss_fn)(state.dis.params)
 
         finite = grads_finite(g_grads) & grads_finite(d_grads)
+        new_sn_u = state.sn_u
+        if state.sn_u is not None:
+            _, new_sn_u = spectral_normalize_tree(
+                jax.lax.stop_gradient(state.gen.params['params']),
+                state.sn_u)
         new_state = SEANTrainState(
             step=state.step + 1,
             gen=safe_apply_updates(state.gen, g_grads, self.tx_g, finite),
             gen_stats=jax.tree_util.tree_map(
                 lambda a, b: jnp.where(finite, a, b), new_stats,
                 state.gen_stats),
-            dis=safe_apply_updates(state.dis, d_grads, self.tx_d, finite))
+            dis=safe_apply_updates(state.dis, d_grads, self.tx_d, finite),
+            sn_u=new_sn_u)
         metrics = {'g_total': g_total, 'd_total': d_total, 'finite': finite}
         metrics.update({f'g/{k}': v for k, v in g_losses.items()})
         return new_state, metrics
