@@ -156,12 +156,15 @@ class BiSeNetOutput(nn.Module):
 class BiSeNet(nn.Module):
     cfg: BiSeNetConfig
     train: bool = False
+    # emit the two auxiliary supervision heads (ref: model.py:237-238,
+    # 248-253); inference needs only the main head
+    return_aux: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: [N, H, W, 3], ImageNet-normalised. Returns [N, H, W, n_classes]
-        main-head logits (aux heads exist only for training parity)."""
+        main-head logits, or (main, aux16, aux32) when return_aux."""
         h, w = x.shape[1:3]
         feat8, feat16, feat32 = ResNet18(train=self.train, dtype=self.dtype,
                                          name='resnet')(x)
@@ -186,6 +189,16 @@ class BiSeNet(nn.Module):
                             dtype=self.dtype, name='conv_out')(fuse)
         out = resize_bilinear_nhwc(out.astype(jnp.float32), (h, w),
                                    align_corners=True)
+        if self.return_aux:
+            aux16 = BiSeNetOutput(64, self.cfg.n_classes, train=self.train,
+                                  dtype=self.dtype, name='conv_out16')(f16_up)
+            aux32 = BiSeNetOutput(64, self.cfg.n_classes, train=self.train,
+                                  dtype=self.dtype, name='conv_out32')(f32_up)
+            aux16 = resize_bilinear_nhwc(aux16.astype(jnp.float32), (h, w),
+                                         align_corners=True)
+            aux32 = resize_bilinear_nhwc(aux32.astype(jnp.float32), (h, w),
+                                         align_corners=True)
+            return out, aux16, aux32
         return out
 
 

@@ -98,6 +98,11 @@ def test_bisenet_shapes(rng):
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape == (1, 64, 64, 19)
+    # auxiliary training heads (ref: model.py:237-253)
+    aux_model = BiSeNet(cfg, return_aux=True)
+    aux_params = aux_model.init(jax.random.PRNGKey(0), x)
+    main, a16, a32 = aux_model.apply(aux_params, x)
+    assert main.shape == a16.shape == a32.shape == (1, 64, 64, 19)
 
 
 def test_fourier_pos_encoding_matches_reference_semantics():
