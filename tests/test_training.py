@@ -94,6 +94,30 @@ def test_shape_trainer_step():
     assert _params_changed(new_state.gen.params, state2.gen.params)
 
 
+def test_bisenet_trainer_step():
+    from ctrlhair_tpu.config import BiSeNetConfig
+    from ctrlhair_tpu.training.bisenet_trainer import (
+        BiSeNetTrainer, ohem_cross_entropy)
+    rng = np.random.default_rng(0)
+    tr = BiSeNetTrainer(BiSeNetConfig(input_size=64), lr=1e-3)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = {'image': jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3)).astype(np.float32)),
+        'label': jnp.asarray(rng.integers(0, 19, (2, 64, 64)).astype(
+            np.int32))}
+    new_state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert bool(metrics['finite'])
+    assert np.isfinite(float(metrics['total']))
+    assert int(new_state.step) == 1  # (old state buffers are donated)
+    # OHEM: an easy batch (one-hot-correct logits) has low loss, a hard
+    # batch high loss
+    labels = jnp.asarray(rng.integers(0, 19, (1, 16, 16)).astype(np.int32))
+    easy = jax.nn.one_hot(labels, 19) * 20.0
+    hard = -easy
+    assert float(ohem_cross_entropy(easy, labels)) < 0.01
+    assert float(ohem_cross_entropy(hard, labels)) > 1.0
+
+
 def test_predictor_trainer_learns():
     cfg = PredictorConfig(style_dim=16, hidden_dim=32, dropout=0.0,
                           norm='none', predict_dict={'rgb_mean': 3,
