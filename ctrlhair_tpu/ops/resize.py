@@ -37,8 +37,20 @@ def resize_nearest(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 
 
 def resize_nearest_nhwc(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """Nearest resize for [..., H, W, C] arrays."""
+    """Nearest resize for [..., H, W, C] arrays.
+
+    Integer upscaling factors take the broadcast fast path (floor(i*s/d)
+    == i // factor there), which is a layout op instead of a TPU gather.
+    """
     h, w = out_hw
+    h_in, w_in = img.shape[-3], img.shape[-2]
+    if h % h_in == 0 and w % w_in == 0 and h >= h_in and w >= w_in:
+        fy, fx = h // h_in, w // w_in
+        lead = img.shape[:-3]
+        x = jnp.broadcast_to(
+            img[..., :, None, :, None, :],
+            lead + (h_in, fy, w_in, fx, img.shape[-1]))
+        return x.reshape(lead + (h, w, img.shape[-1]))
     iy = _src_index_nearest(h, img.shape[-3])
     ix = _src_index_nearest(w, img.shape[-2])
     return img[..., iy[:, None], ix[None, :], :]
@@ -58,6 +70,17 @@ def _linear_weights(dst_size: int, src_size: int, align_corners: bool):
     return i0, i1, frac
 
 
+def _linear_matrix(dst_size: int, src_size: int,
+                   align_corners: bool) -> jnp.ndarray:
+    """[dst, src] interpolation-weight matrix for one separable axis."""
+    i0, i1, frac = _linear_weights(dst_size, src_size, align_corners)
+    rows = jnp.arange(dst_size)
+    mat = jnp.zeros((dst_size, src_size), jnp.float32)
+    mat = mat.at[rows, i0].add(1.0 - frac)
+    mat = mat.at[rows, i1].add(frac)
+    return mat
+
+
 def resize_bilinear_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
                          align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize for [..., H, W, C].
@@ -65,17 +88,21 @@ def resize_bilinear_nhwc(img: jnp.ndarray, out_hw: tuple[int, int],
     align_corners=False matches cv2.INTER_LINEAR / torch default;
     align_corners=True matches the BiSeNet output upsample
     (ref: external_code/face_parsing/model.py:251-253).
+    Implemented as two separable weight matmuls — MXU work instead of the
+    fancy-indexed gathers that crawl on TPU (HIGHEST precision keeps the
+    interpolation exact in f32).
     """
     h, w = out_hw
-    y0, y1, fy = _linear_weights(h, img.shape[-3], align_corners)
-    x0, x1, fx = _linear_weights(w, img.shape[-2], align_corners)
-    fy = fy[:, None, None]
-    fx = fx[None, :, None]
-    top = img[..., y0, :, :]
-    bot = img[..., y1, :, :]
-    a = top[..., :, x0, :] * (1 - fx) + top[..., :, x1, :] * fx
-    b = bot[..., :, x0, :] * (1 - fx) + bot[..., :, x1, :] * fx
-    return a * (1 - fy) + b * fy
+    wy = _linear_matrix(h, img.shape[-3], align_corners)
+    wx = _linear_matrix(w, img.shape[-2], align_corners)
+    dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) \
+        else jnp.float32
+    x = img.astype(dtype)
+    x = jnp.einsum('oh,...hwc->...owc', wy.astype(dtype), x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum('pw,...owc->...opc', wx.astype(dtype), x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return x
 
 
 def upsample2x_nearest_nhwc(x: jnp.ndarray) -> jnp.ndarray:
