@@ -1,0 +1,77 @@
+# convert/load: assemble editor params from reference-layout torch
+# checkpoints (fake state dicts with the real key layouts, saved via torch).
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+from tests.test_convert import _fake_ct_gen_sd, _fake_mlp_sd, \
+    _fake_shape_gen_sd
+from tests.test_convert_sean import _fake_sean_sd
+from tests.test_pipeline import tiny_cfg
+
+
+def test_load_reference_params(tmp_path):
+    torch = pytest.importorskip('torch')
+    from ctrlhair_tpu.convert.load import load_reference_params
+
+    cfg = tiny_cfg()
+    editor = HairEditorTPU(cfg)
+    rng = np.random.default_rng(0)
+
+    sean_path = str(tmp_path / 'latest_net_G.pth')
+    torch.save({k: torch.tensor(v)
+                for k, v in _fake_sean_sd(rng, cfg.sean).items()}, sean_path)
+
+    ct_path = str(tmp_path / 'ct.ckpt')
+    out_dim = 1 + cfg.color_texture.noise_dim + cfg.color_texture.curliness_dim
+    dis_sd = _fake_mlp_sd(rng, 'net', [cfg.color_texture.style_dim]
+                          + [cfg.color_texture.d_hidden_dim] * 4 + [out_dim])
+    # DDP-wrapped generator, plain discriminator (exercises prefix strip)
+    gen_sd = {'module.' + k: torch.tensor(v) for k, v in
+              _fake_ct_gen_sd(rng, cfg.color_texture).items()}
+    torch.save({'Model_G': gen_sd,
+                'Model_D': {k: torch.tensor(v) for k, v in dis_sd.items()}},
+               ct_path)
+
+    shape_path = str(tmp_path / 'shape.ckpt')
+    torch.save({'Model_G': {k: torch.tensor(v) for k, v in
+                            _fake_shape_gen_sd(rng, cfg.shape).items()}},
+               shape_path)
+
+    before = np.asarray(
+        editor.params['ct_gen']['params']['main_in']['kernel']).copy()
+    load_reference_params(editor, sean_path=sean_path,
+                          color_texture_ckpt=ct_path,
+                          shape_ckpt=shape_path)
+    after = np.asarray(
+        editor.params['ct_gen']['params']['main_in']['kernel'])
+    assert not np.allclose(before, after)
+    # DDP prefix-stripped generator weights landed exactly
+    np.testing.assert_allclose(
+        after, np.asarray(torch.load(ct_path, weights_only=False)
+                          ['Model_G']['module.main_layer_in.weight']).T)
+
+    # the converted editor still runs the full edit pipeline
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    res = editor.analyze_image(img)
+    out = editor.edit_render(editor.params, res['sean_codes'],
+                             res['label'], res['latent'])
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_load_reference_params_partial(tmp_path):
+    """Missing checkpoint files leave the corresponding params untouched."""
+    from ctrlhair_tpu.convert.load import load_reference_params
+    editor = HairEditorTPU(tiny_cfg())
+    before = jax.tree_util.tree_map(np.asarray, editor.params['sean'])
+    load_reference_params(editor, sean_path=str(tmp_path / 'missing.pth'))
+    after = jax.tree_util.tree_map(np.asarray, editor.params['sean'])
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
