@@ -44,8 +44,12 @@ from ctrlhair_tpu.utils.masks import (
 def enable_compilation_cache(path: str = '/tmp/ctrlhair_xla_cache') -> None:
     """Persistent XLA compilation cache: first-run compiles of the fused
     pipeline programs take minutes over the device tunnel; cached reloads
-    take seconds.  Safe to call multiple times."""
+    take seconds.  Safe to call multiple times.  Skipped on CPU: XLA:CPU AOT
+    artifacts encode exact machine features and can SIGILL when replayed on
+    a different host."""
     try:
+        if jax.default_backend() == 'cpu':
+            return
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
     except Exception:
