@@ -71,7 +71,9 @@ def load_reference_params(editor, *,
         ckpt = _torch_load(shape_ckpt)
         gen_sd = ti.strip_ddp_prefix(ckpt['Model_G'])
         params['shape'] = _to_tree(ti.convert_shape_generator(
-            gen_sd, cfg.shape.layer_num))
+            gen_sd, cfg.shape.layer_num, img_size=cfg.shape.img_size,
+            hidden_in_channel=cfg.shape.hidden_in_channel,
+            max_channel=cfg.shape.max_channel))
 
     if rgb_predictor_ckpt and os.path.exists(rgb_predictor_ckpt):
         ckpt = _torch_load(rgb_predictor_ckpt)

@@ -246,10 +246,14 @@ def convert_bisenet(sd: Mapping[str, Any]) -> Dict[str, Any]:
     params['ffm'] = {'convblk': fp, 'conv1': conv_only('ffm.conv1'),
                      'conv2': conv_only('ffm.conv2')}
     stats['ffm'] = {'convblk': fs}
-    op, ostats = cbr('conv_out.conv')
-    params['conv_out'] = {'conv': op,
-                          'conv_out': conv_only('conv_out.conv_out')}
-    stats['conv_out'] = {'conv': ostats}
+    # main + auxiliary supervision heads (ref: model.py:237-246)
+    for head in ['conv_out', 'conv_out16', 'conv_out32']:
+        if f'{head}.conv.conv.weight' not in sd:
+            continue
+        op, ostats = cbr(f'{head}.conv')
+        params[head] = {'conv': op,
+                        'conv_out': conv_only(f'{head}.conv_out')}
+        stats[head] = {'conv': ostats}
     return _prune_empty({'params': params, 'batch_stats': stats})
 
 
@@ -320,8 +324,34 @@ def convert_predictor(sd: Mapping[str, Any], hidden_layers: int = 3,
 
 # --------------------------------------------------------------- shape gen
 
+def _linear_from_chw(weight, c: int, hw: int) -> np.ndarray:
+    """Linear consuming a torch flatten(1) of an NCHW feature -> our kernel.
+
+    torch flattens [N,C,H,W] -> [N, C*H*W] (channel-major); our NHWC reshape
+    produces [N, H*W*C].  Permute the input axis accordingly
+    (ref: shape_branch/model.py:96-100).
+    """
+    w = _np(weight)                               # [out, C*H*W]
+    out_dim, fc_in = w.shape
+    assert fc_in == c * hw * hw, (fc_in, c, hw)
+    w = w.reshape(out_dim, c, hw, hw).transpose(0, 2, 3, 1)
+    return w.reshape(out_dim, fc_in).T            # [H*W*C, out]
+
+
+def _linear_to_chw(weight, bias, c: int, hw: int):
+    """Linear whose torch output is reshaped to [N,C,H,W] -> our [N,H,W,C]
+    reshape order: permute the OUTPUT axis (ref: model.py:140-141)."""
+    w = _np(weight)                               # [C*H*W, in]
+    b = _np(bias)
+    w = w.reshape(c, hw, hw, -1).transpose(1, 2, 0, 3).reshape(w.shape[0], -1)
+    b = b.reshape(c, hw, hw).transpose(1, 2, 0).reshape(-1)
+    return {'fc': {'kernel': w.T, 'bias': b}}
+
+
 def _mask_encoder(sd: Mapping[str, Any], src: str, layer_num: int,
-                  vae: bool, norm: str = 'ln') -> Dict[str, Any]:
+                  vae: bool, norm: str = 'ln', img_size: int = 256,
+                  hidden_in_channel: int = 32,
+                  max_channel: int = 2048) -> Dict[str, Any]:
     p: Dict[str, Any] = {}
     for i in range(layer_num):
         blk = {'conv': {'conv': {
@@ -331,15 +361,30 @@ def _mask_encoder(sd: Mapping[str, Any], src: str, layer_num: int,
             blk['norm'] = {'gamma': _np(sd[f'{src}.layers.{i}.norm.gamma']),
                            'beta': _np(sd[f'{src}.layers.{i}.norm.beta'])}
         p[f'down_{i}'] = blk
-    p['out'] = _linear_block(sd, f'{src}.out_layer')
+    c = min(max_channel, 2 ** (layer_num - 1) * hidden_in_channel)
+    hw = img_size // (2 ** layer_num)
+    p['out'] = {'fc': {
+        'kernel': _linear_from_chw(sd[f'{src}.out_layer.fc.weight'], c, hw),
+        'bias': _np(sd[f'{src}.out_layer.fc.bias'])}}
     if vae:
-        p['std_out'] = _linear_block(sd, f'{src}.std_out_layer')
+        p['std_out'] = {'fc': {
+            'kernel': _linear_from_chw(sd[f'{src}.std_out_layer.fc.weight'],
+                                       c, hw),
+            'bias': _np(sd[f'{src}.std_out_layer.fc.bias'])}}
     return p
 
 
 def _mask_decoder(sd: Mapping[str, Any], src: str,
-                  layer_num: int, norm: str = 'ln') -> Dict[str, Any]:
-    p: Dict[str, Any] = {'in_layer': _linear_block(sd, f'{src}.in_layer')}
+                  layer_num: int, norm: str = 'ln',
+                  img_size: int = 256, max_channel: int = 2048
+                  ) -> Dict[str, Any]:
+    # decoder bottleneck: [in_ch, s, s] with in_ch = min(32*2^L, max)
+    # (ref: shape_branch/model.py:120-123)
+    in_ch = min(32 * 2 ** layer_num, max_channel)
+    s = img_size // (2 ** layer_num)
+    p: Dict[str, Any] = {'in_layer': _linear_to_chw(
+        sd[f'{src}.in_layer.fc.weight'], sd[f'{src}.in_layer.fc.bias'],
+        in_ch, s)}
     for i in range(layer_num):
         # decoder Sequential interleaves Upsample+ConvBlock: conv at 2i+1
         blk = {'conv': {'conv': {
@@ -356,14 +401,24 @@ def _mask_decoder(sd: Mapping[str, Any], src: str,
     return p
 
 
-def convert_shape_generator(sd: Mapping[str, Any],
-                            layer_num: int = 7) -> Dict[str, Any]:
+def convert_shape_generator(sd: Mapping[str, Any], layer_num: int = 7,
+                            img_size: int = 256,
+                            hidden_in_channel: int = 32,
+                            max_channel: int = 2048) -> Dict[str, Any]:
     """Shape Generator Model_G (ref: shape_branch/model.py:146-162)."""
     return {'params': {
-        'hair_encoder': _mask_encoder(sd, 'hair_encoder', layer_num, True),
-        'face_encoder': _mask_encoder(sd, 'face_encoder', layer_num, False),
-        'hair_decoder': _mask_decoder(sd, 'hair_decoder', layer_num),
-        'face_decoder': _mask_decoder(sd, 'face_decoder', layer_num),
+        'hair_encoder': _mask_encoder(
+            sd, 'hair_encoder', layer_num, True, img_size=img_size,
+            hidden_in_channel=hidden_in_channel, max_channel=max_channel),
+        'face_encoder': _mask_encoder(
+            sd, 'face_encoder', layer_num, False, img_size=img_size,
+            hidden_in_channel=hidden_in_channel, max_channel=max_channel),
+        'hair_decoder': _mask_decoder(sd, 'hair_decoder', layer_num,
+                                      img_size=img_size,
+                                      max_channel=max_channel),
+        'face_decoder': _mask_decoder(sd, 'face_decoder', layer_num,
+                                      img_size=img_size,
+                                      max_channel=max_channel),
     }}
 
 

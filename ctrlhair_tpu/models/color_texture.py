@@ -118,16 +118,21 @@ class CTDiscriminator(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _out_dim(self) -> int:
+        # Mirrors the reference head-width formula EXACTLY, quirks included
+        # (ref: model.py:98-105): the rgb +3 is gated on the CURLINESS
+        # predictor, and the pca_std +1 is ungated — with an external rgb
+        # predictor that unit dangles (never sliced in forward).  Head shape
+        # must match for checkpoint conversion.
         cfg = self.cfg
         dim = 1 + cfg.noise_dim
+        if cfg.use_rgb_cond and not cfg.external_curliness_predictor:
+            dim += 3
+        if cfg.use_pca_std_cond:
+            dim += 1
         if cfg.use_curliness:
             dim += cfg.curliness_dim
             if not cfg.external_curliness_predictor:
                 dim += 1
-        if cfg.use_rgb_cond and not cfg.external_rgb_predictor:
-            dim += 3
-        if cfg.use_pca_std_cond and not cfg.external_rgb_predictor:
-            dim += 1
         return dim
 
     @nn.compact

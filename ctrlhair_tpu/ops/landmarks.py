@@ -101,7 +101,7 @@ def _fit_similarity(src: np.ndarray, dst: np.ndarray):
     return rot, t
 
 
-def estimate_landmarks_81(label_map: np.ndarray) -> np.ndarray:
+def template_landmarks_81(label_map: np.ndarray) -> np.ndarray:
     """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1].
 
     Fits the canonical template through parsing-region centroids; identity
@@ -122,5 +122,259 @@ def estimate_landmarks_81(label_map: np.ndarray) -> np.ndarray:
     return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
-def estimate_landmarks_68(label_map: np.ndarray) -> np.ndarray:
-    return estimate_landmarks_81(label_map)[:68]
+# ---------------------------------------------------------------------------
+# Parsing-contour landmarks: drive every landmark group from the actual
+# region boundaries of the segmentation (jaw <- face-skin silhouette,
+# hairline <- skin/hair boundary, eyes/brows/nose/mouth <- per-region
+# contours), with the similarity-fitted template only as prior/fallback.
+# Replaces what dlib's regressors provide in the reference
+# (ref: external_code/landmarks_util.py:17-19, wrap_codes/mask_adaptor.py:110).
+# ---------------------------------------------------------------------------
+
+_SKIN = PARSING_LABEL_LIST.index('skin_other')
+_L_BROW = PARSING_LABEL_LIST.index('l_brow')
+_R_BROW = PARSING_LABEL_LIST.index('r_brow')
+_EYE_G = PARSING_LABEL_LIST.index('eye_g')
+_L_EAR = PARSING_LABEL_LIST.index('l_ear')
+_R_EAR = PARSING_LABEL_LIST.index('r_ear')
+_MOUTH_IN = PARSING_LABEL_LIST.index('mouth')
+_U_LIP = PARSING_LABEL_LIST.index('u_lip')
+_L_LIP = PARSING_LABEL_LIST.index('l_lip')
+
+_FACE_IDS = [_SKIN, _L_BROW, _R_BROW, _EYE_G, _L_EYE, _R_EYE, _NOSE,
+             _MOUTH_IN, _U_LIP, _L_LIP]
+
+
+def _col_stats(mask: np.ndarray):
+    """Per-column (top y, bottom y, mean y) for occupied columns.
+
+    Returns (xs, top, bottom, mean) arrays over occupied columns only."""
+    cols = np.nonzero(mask.any(axis=0))[0]
+    if cols.size == 0:
+        return None
+    ys, xs = np.nonzero(mask)
+    order = np.argsort(xs, kind='stable')
+    xs_s, ys_s = xs[order], ys[order]
+    starts = np.searchsorted(xs_s, cols)
+    ends = np.searchsorted(xs_s, cols, side='right')
+    top = np.minimum.reduceat(ys_s, starts)
+    bottom = np.maximum.reduceat(ys_s, starts)
+    mean = np.add.reduceat(ys_s.astype(np.float64), starts) / (ends - starts)
+    return cols, top.astype(np.float64), bottom.astype(np.float64), mean
+
+
+def _pick_col(cols: np.ndarray, x: float) -> int:
+    return int(np.argmin(np.abs(cols - x)))
+
+
+def _eye_points(mask: np.ndarray):
+    """6 dlib-ordered eye points (corner, 2 upper, corner, 2 lower)."""
+    st = _col_stats(mask)
+    if st is None or mask.sum() < 16:
+        return None
+    cols, top, bottom, mean = st
+    x0, x1 = cols[0], cols[-1]
+    if x1 - x0 < 3:
+        return None
+    p = np.zeros((6, 2), np.float64)
+    p[0] = (x0, mean[0])
+    p[3] = (x1, mean[-1])
+    for k, f in ((1, 1 / 3), (2, 2 / 3)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[k] = (cols[i], top[i])
+    for k, f in ((4, 2 / 3), (5, 1 / 3)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[k] = (cols[i], bottom[i])
+    return p
+
+
+def _brow_points(mask: np.ndarray):
+    """5 points along the brow centreline, left to right."""
+    st = _col_stats(mask)
+    if st is None or mask.sum() < 12:
+        return None
+    cols, _, _, mean = st
+    x0, x1 = cols[0], cols[-1]
+    if x1 - x0 < 4:
+        return None
+    p = np.zeros((5, 2), np.float64)
+    for k, f in enumerate(np.linspace(0.02, 0.98, 5)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[k] = (cols[i], mean[i])
+    return p
+
+
+def _nose_points(mask: np.ndarray):
+    """27-30 bridge (per-row centroid) + 31-35 nostril bottom line."""
+    if mask.sum() < 25:
+        return None
+    rows = np.nonzero(mask.any(axis=1))[0]
+    y0, y1 = rows[0], rows[-1]
+    if y1 - y0 < 6:
+        return None
+    p = np.zeros((9, 2), np.float64)
+    for k, f in enumerate((0.05, 0.35, 0.65, 0.92)):
+        yr = rows[_pick_col(rows, y0 + f * (y1 - y0))]
+        xs = np.nonzero(mask[yr])[0]
+        p[k] = (xs.mean(), yr)
+    st = _col_stats(mask)
+    cols, _, bottom, _ = st
+    x0, x1 = cols[0], cols[-1]
+    for k, f in enumerate((0.08, 0.3, 0.5, 0.7, 0.92)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[4 + k] = (cols[i], bottom[i])
+    return p
+
+
+def _mouth_points(outer: np.ndarray, inner: np.ndarray):
+    """12 outer + 8 inner dlib-ordered mouth points."""
+    st = _col_stats(outer)
+    if st is None or outer.sum() < 30:
+        return None
+    cols, top, bottom, mean = st
+    x0, x1 = cols[0], cols[-1]
+    if x1 - x0 < 6:
+        return None
+    p = np.zeros((20, 2), np.float64)
+    p[0] = (x0, mean[0])                               # 48 left corner
+    p[6] = (x1, mean[-1])                              # 54 right corner
+    for k, f in enumerate((1 / 6, 2 / 6, 3 / 6, 4 / 6, 5 / 6)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[1 + k] = (cols[i], top[i])                   # 49-53 upper
+    for k, f in enumerate((5 / 6, 4 / 6, 3 / 6, 2 / 6, 1 / 6)):
+        i = _pick_col(cols, x0 + f * (x1 - x0))
+        p[7 + k] = (cols[i], bottom[i])                # 55-59 lower (r->l)
+    ist = _col_stats(inner) if inner.sum() >= 16 else None
+    if ist is not None:
+        icols, itop, ibottom, imean = ist
+        ix0, ix1 = icols[0], icols[-1]
+        p[12] = (ix0, imean[0])                        # 60
+        p[16] = (ix1, imean[-1])                       # 64
+        for k, f in ((13, 0.25), (14, 0.5), (15, 0.75)):
+            i = _pick_col(icols, ix0 + f * (ix1 - ix0))
+            p[k] = (icols[i], itop[i])
+        for k, f in ((17, 0.75), (18, 0.5), (19, 0.25)):
+            i = _pick_col(icols, ix0 + f * (ix1 - ix0))
+            p[k] = (icols[i], ibottom[i])
+    else:
+        # closed mouth: inner points = outer ring shrunk toward its centroid
+        centre = p[:12].mean(0)
+        ring = np.array([0, 1, 3, 5, 6, 7, 9, 11])
+        p[12:20] = centre + 0.45 * (p[ring] - centre)
+    return p
+
+
+def _ray_boundary(mask: np.ndarray, centre: np.ndarray, dirs: np.ndarray,
+                  max_gap_frac: float = 0.08):
+    """March rays from `centre` along unit `dirs` [K,2]; return the outermost
+    mask boundary radius reachable without a gap longer than max_gap_frac*S.
+
+    Returns (radii [K], hit [K] bool)."""
+    size = mask.shape[0]
+    n_steps = int(size * 0.75)
+    rs = np.arange(1, n_steps, dtype=np.float64)
+    pts = centre[None, None, :] + rs[None, :, None] * dirs[:, None, :]
+    xi = np.clip(np.round(pts[..., 0]).astype(np.int64), 0, size - 1)
+    yi = np.clip(np.round(pts[..., 1]).astype(np.int64), 0, size - 1)
+    on = mask[yi, xi]                                   # [K, R]
+    max_gap = max(2, int(size * max_gap_frac))
+    radii = np.zeros(len(dirs))
+    hit = np.zeros(len(dirs), bool)
+    for k in range(len(dirs)):
+        idx = np.nonzero(on[k])[0]
+        if idx.size == 0:
+            continue
+        # walk outwards, stopping at the first gap wider than max_gap
+        last = idx[0]
+        if last > max_gap * 2:       # centre not inside the region
+            continue
+        for j in idx[1:]:
+            if j - last > max_gap:
+                break
+            last = j
+        radii[k] = rs[last]
+        hit[k] = True
+    return radii, hit
+
+
+def _smooth_open(vals: np.ndarray) -> np.ndarray:
+    """3-tap [1,2,1]/4 smoothing of an open polyline's radii."""
+    if len(vals) < 3:
+        return vals
+    out = vals.copy()
+    out[1:-1] = 0.25 * vals[:-2] + 0.5 * vals[1:-1] + 0.25 * vals[2:]
+    return out
+
+
+def contour_landmarks_81(label_map: np.ndarray) -> np.ndarray:
+    """[S, S] CelebA label map -> [81, 2] landmarks in [0,1], driven by the
+    parsing-region contours with the fitted template as prior/fallback.
+
+    Groups: 0-16 jaw (face-silhouette rays), 17-26 brows, 27-35 nose,
+    36-47 eyes, 48-67 mouth, 68-80 hairline (skin/hair boundary rays).
+    """
+    label = np.asarray(label_map)
+    size = label.shape[0]
+    prior = template_landmarks_81(label).astype(np.float64) * size
+    out = prior.copy()
+
+    def accept(idx, pts, tol=0.30):
+        """Take measured points unless implausibly far from the prior."""
+        pts = np.asarray(pts, np.float64)
+        ok = np.linalg.norm(pts - prior[idx], axis=-1) < tol * size
+        out[idx] = np.where(ok[:, None], pts, prior[idx])
+
+    # --- per-region contour groups
+    eye_l = _eye_points(label == _L_EYE)
+    if eye_l is not None:
+        accept(np.arange(36, 42), eye_l, tol=0.12)
+    eye_r = _eye_points(label == _R_EYE)
+    if eye_r is not None:
+        accept(np.arange(42, 48), eye_r, tol=0.12)
+    brow_l = _brow_points(label == _L_BROW)
+    if brow_l is not None:
+        accept(np.arange(17, 22), brow_l, tol=0.15)
+    brow_r = _brow_points(label == _R_BROW)
+    if brow_r is not None:
+        accept(np.arange(22, 27), brow_r, tol=0.15)
+    nose = _nose_points(label == _NOSE)
+    if nose is not None:
+        accept(np.arange(27, 36), nose, tol=0.15)
+    mouth = _mouth_points(np.isin(label, [_MOUTH_IN, _U_LIP, _L_LIP]),
+                          label == _MOUTH_IN)
+    if mouth is not None:
+        accept(np.arange(48, 68), mouth, tol=0.18)
+
+    # --- silhouette groups (rays from a face centre along prior directions)
+    face = np.isin(label, _FACE_IDS)
+    if face.sum() > size * size * 0.01:
+        nose_c = _region_centroid(label, _NOSE)
+        centre = (nose_c * size if nose_c is not None
+                  else prior[27:36].mean(0))
+        for idx, region in ((np.arange(0, 17),
+                             face | np.isin(label, [_L_EAR, _R_EAR])),
+                            (np.arange(68, 81), face)):
+            dirs = out[idx] - centre
+            norms = np.linalg.norm(dirs, axis=-1, keepdims=True)
+            dirs = dirs / np.maximum(norms, 1e-9)
+            radii, hit = _ray_boundary(region, centre, dirs)
+            radii = np.where(hit, radii, norms[:, 0])
+            radii = _smooth_open(radii)
+            pts = centre + radii[:, None] * dirs
+            keep = hit & (np.abs(radii - norms[:, 0]) < 0.35 * size)
+            out[idx] = np.where(keep[:, None], pts, out[idx])
+
+    return np.clip(out / size, 0.0, 1.0).astype(np.float32)
+
+
+def estimate_landmarks_81(label_map: np.ndarray,
+                          method: str = 'contour') -> np.ndarray:
+    """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1]."""
+    if method == 'contour':
+        return contour_landmarks_81(label_map)
+    return template_landmarks_81(label_map)
+
+
+def estimate_landmarks_68(label_map: np.ndarray,
+                          method: str = 'contour') -> np.ndarray:
+    return estimate_landmarks_81(label_map, method=method)[:68]

@@ -3,9 +3,11 @@
 # The XLA rasteriser (ops/warp.rasterize_uv) scans triangle chunks and
 # materialises [P, chunk] edge-function temporaries in HBM each step — tens
 # of GB of traffic at 672px.  This kernel tiles the pixel grid into VMEM
-# blocks and loops triangles on-core: per tile only the final (u, v) map is
-# written back.  Replaces the reference's Cython z-buffer rasteriser
-# (mesh_core.cpp:150-215) at TPU speed.
+# blocks; triangles are BINNED per tile on the host (the mesh is built on
+# host anyway), so each tile loops only over the triangles whose bbox
+# intersects it — ~20x less pixel-triangle work than the round-1 kernel
+# that walked all 2048 triangles per tile with a bbox cond.  Replaces the
+# reference's Cython z-buffer rasteriser (mesh_core.cpp:150-215).
 
 from __future__ import annotations
 
@@ -18,30 +20,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 16
+TILE_W = 128
+MAX_BIN = 256          # triangle budget per 16x128 tile
 
 
-def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, n_tris: int,
-            height: int, width: int):
-    th = out_u_ref.shape[0]
+def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, max_bin: int,
+            height: int, width: int, grid_w: int):
+    th, tw = out_u_ref.shape
     row0 = pl.program_id(0) * th
+    col0 = pl.program_id(1) * tw
     # integer iota + cast: Mosaic does not lower float iota directly
-    py = (jax.lax.broadcasted_iota(jnp.int32, (th, width), 0)
+    py = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
           + row0).astype(jnp.float32)
-    px = jax.lax.broadcasted_iota(jnp.int32, (th, width), 1).astype(
-        jnp.float32)
+    px = (jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+          + col0).astype(jnp.float32)
 
-    ident_u = px / jnp.float32(width - 1)
-    ident_v = py / jnp.float32(height - 1)
-
-    tile_y_min = jnp.float32(row0)
-    tile_y_max = jnp.float32(row0 + th - 1)
+    # identity fallback matches ops/warp UV convention (verts/size)
+    ident_u = px / jnp.float32(width)
+    ident_v = py / jnp.float32(height)
 
     # f32 masks throughout: Mosaic does not legalize i1-vector loop carries
     def body(t, state):
         found, u, v = state
         row = tri_ref[pl.ds(t, 1), :]        # [1, 8] dynamic row load
-        min_y, max_y = row[0, 6], row[0, 7]
-        hit_tile = (min_y <= tile_y_max) & (max_y >= tile_y_min)
+        valid = row[0, 6] < 0.5              # pad rows carry flag=1
 
         def compute(state):
             found, u, v = state
@@ -73,63 +75,126 @@ def _kernel(tri_ref, uvt_ref, out_u_ref, out_v_ref, *, n_tris: int,
             return (jnp.maximum(found, inside),
                     u + new * (u_tri - u), v + new * (v_tri - v))
 
-        # bbox cull: skip whole tiles this triangle cannot touch (invalid
-        # padding rows carry min_y=+inf so they never hit)
-        return jax.lax.cond(hit_tile, compute, lambda st: st, state)
+        return jax.lax.cond(valid, compute, lambda st: st, state)
 
-    init = (jnp.zeros((th, width), jnp.float32), ident_u, ident_v)
-    _, u, v = jax.lax.fori_loop(0, n_tris, body, init)
+    init = (jnp.zeros((th, tw), jnp.float32), ident_u, ident_v)
+    _, u, v = jax.lax.fori_loop(0, max_bin, body, init)
     out_u_ref[:] = u
     out_v_ref[:] = v
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('height', 'width', 'interpret'))
-def rasterize_uv_pallas(verts_dst: jnp.ndarray, tris: jnp.ndarray,
-                        uv: jnp.ndarray, height: int, width: int,
-                        interpret: bool = False) -> jnp.ndarray:
-    """Drop-in for ops.warp.rasterize_uv: returns [H, W, 2] UV map.
+def _bin_triangles(verts_dst: np.ndarray, tris: np.ndarray, uv: np.ndarray,
+                   height: int, width: int, max_bin: int = MAX_BIN):
+    """Host-side tile binning: dense per-tile triangle tables.
 
-    verts_dst [V,2] px; tris [T,3] int32 (-1 padding rows); uv [V,2].
-    """
-    pad_h = (-height) % TILE_H
-    h_pad = height + pad_h
-
-    idx = jnp.maximum(tris, 0)
-    a = verts_dst[idx[:, 0]]
-    b = verts_dst[idx[:, 1]]
-    c = verts_dst[idx[:, 2]]
+    Returns (tri_data [G*max_bin, 8], uv_data [G*max_bin, 8], grid_h, grid_w)
+    with G = grid_h*grid_w row-major tiles; column 6 of tri_data is a
+    pad flag (1 = padding row)."""
+    verts_dst = np.asarray(verts_dst, np.float32)
+    tris = np.asarray(tris)
     valid = tris[:, 0] >= 0
-    ys = jnp.stack([a[:, 1], b[:, 1], c[:, 1]], axis=1)
-    min_y = jnp.where(valid, jnp.min(ys, axis=1), 1e9)[:, None]
-    max_y = jnp.where(valid, jnp.max(ys, axis=1), -1e9)[:, None]
-    tri_data = jnp.concatenate([a, b, c, min_y, max_y], axis=1)  # [T, 8]
-    uv_data = jnp.concatenate(
-        [uv[idx[:, 0]], uv[idx[:, 1]], uv[idx[:, 2]],
-         jnp.zeros((tris.shape[0], 2), uv.dtype)], axis=1)       # [T, 8]
+    tris_v = np.maximum(tris[valid], 0)
+    a = verts_dst[tris_v[:, 0]]
+    b = verts_dst[tris_v[:, 1]]
+    c = verts_dst[tris_v[:, 2]]
+    uvf = np.asarray(uv, np.float32)
+    uv_v = np.concatenate([uvf[tris_v[:, 0]], uvf[tris_v[:, 1]],
+                           uvf[tris_v[:, 2]],
+                           np.zeros((len(tris_v), 2), np.float32)], 1)
+    tri_v = np.concatenate(
+        [a, b, c, np.zeros((len(tris_v), 2), np.float32)], 1)  # [T,8]
 
-    kern = functools.partial(_kernel, n_tris=tris.shape[0],
-                             height=height, width=width)
+    xs = np.stack([a[:, 0], b[:, 0], c[:, 0]], 1)
+    ys = np.stack([a[:, 1], b[:, 1], c[:, 1]], 1)
+    min_x, max_x = xs.min(1), xs.max(1)
+    min_y, max_y = ys.min(1), ys.max(1)
+
+    grid_h = -(-height // TILE_H)
+    grid_w = -(-width // TILE_W)
+    n_tiles = grid_h * grid_w
+    tri_data = np.zeros((n_tiles * max_bin, 8), np.float32)
+    tri_data[:, 6] = 1.0                       # pad flag
+    uv_data = np.zeros((n_tiles * max_bin, 8), np.float32)
+
+    # tile index ranges per triangle
+    ty0 = np.clip((min_y // TILE_H).astype(np.int64), 0, grid_h - 1)
+    ty1 = np.clip((max_y // TILE_H).astype(np.int64), 0, grid_h - 1)
+    tx0 = np.clip((min_x // TILE_W).astype(np.int64), 0, grid_w - 1)
+    tx1 = np.clip((max_x // TILE_W).astype(np.int64), 0, grid_w - 1)
+    counts = np.zeros(n_tiles, np.int64)
+    overflow = False
+    for t in range(len(tri_v)):
+        for gy in range(ty0[t], ty1[t] + 1):
+            base = gy * grid_w
+            for gx in range(tx0[t], tx1[t] + 1):
+                tile = base + gx
+                k = counts[tile]
+                if k >= max_bin:
+                    overflow = True
+                    continue
+                tri_data[tile * max_bin + k] = tri_v[t]
+                tri_data[tile * max_bin + k, 6] = 0.0
+                uv_data[tile * max_bin + k] = uv_v[t]
+                counts[tile] = k + 1
+    if overflow:
+        raise OverflowError('per-tile triangle budget exceeded')
+    return tri_data, uv_data, grid_h, grid_w
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'height', 'width', 'grid_h', 'grid_w', 'max_bin', 'interpret'))
+def _rasterize_binned(tri_data: jnp.ndarray, uv_data: jnp.ndarray,
+                      height: int, width: int, grid_h: int, grid_w: int,
+                      max_bin: int, interpret: bool = False) -> jnp.ndarray:
+    h_pad, w_pad = grid_h * TILE_H, grid_w * TILE_W
+    kern = functools.partial(_kernel, max_bin=max_bin, height=height,
+                             width=width, grid_w=grid_w)
     grid_spec = pl.GridSpec(
-        grid=(h_pad // TILE_H,),
+        grid=(grid_h, grid_w),
         in_specs=[
-            pl.BlockSpec(tri_data.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(uv_data.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_bin, 8), lambda i, j, gw=grid_w:
+                         (i * gw + j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max_bin, 8), lambda i, j, gw=grid_w:
+                         (i * gw + j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_H, width), lambda i: (i, 0),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_H, width), lambda i: (i, 0),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
     )
     u, v = pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((h_pad, width), jnp.float32),
-                   jax.ShapeDtypeStruct((h_pad, width), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tri_data.astype(jnp.float32), uv_data.astype(jnp.float32))
-    return jnp.stack([u[:height], v[:height]], axis=-1)
+    )(tri_data, uv_data)
+    return jnp.stack([u[:height, :width], v[:height, :width]], axis=-1)
+
+
+def rasterize_uv_pallas(verts_dst, tris, uv, height: int, width: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for ops.warp.rasterize_uv: returns [H, W, 2] UV map.
+
+    verts_dst [V,2] px; tris [T,3] int32 (-1 padding rows); uv [V,2].
+    Host-bins triangles into pixel tiles, then runs the VMEM-tiled kernel.
+    Falls back to a doubled bin budget once if a tile overflows.
+    """
+    verts_np = np.asarray(verts_dst)
+    tris_np = np.asarray(tris)
+    uv_np = np.asarray(uv)
+    max_bin = MAX_BIN
+    while True:
+        try:
+            tri_data, uv_data, grid_h, grid_w = _bin_triangles(
+                verts_np, tris_np, uv_np, height, width, max_bin)
+            break
+        except OverflowError:
+            if max_bin >= 4 * MAX_BIN:
+                raise
+            max_bin *= 2
+    return _rasterize_binned(jnp.asarray(tri_data), jnp.asarray(uv_data),
+                             height, width, grid_h, grid_w, max_bin,
+                             interpret=interpret)

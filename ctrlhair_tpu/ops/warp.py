@@ -138,8 +138,8 @@ def rasterize_uv(verts_dst: jnp.ndarray, tris: jnp.ndarray,
     n_chunks = tris.shape[0] // chunk
     tris = tris.reshape(n_chunks, chunk, 3)
 
-    ident_uv = jnp.stack([px.ravel() / (width - 1),
-                          py.ravel() / (height - 1)], 1)
+    ident_uv = jnp.stack([px.ravel() / width,
+                          py.ravel() / height], 1)
 
     def body(carry, tri_chunk):
         found, uv_acc = carry
@@ -256,7 +256,10 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
         raise RuntimeError(f'triangle budget exceeded: {tris.shape[0]}')
     tris_pad = np.full((MAX_TRIS, 3), -1, np.int32)
     tris_pad[:tris.shape[0]] = tris
-    uv = (verts_src / (big - 1)).astype(np.float32)
+    # UV normalisation is verts/size with sampling at u*size — an exact
+    # round trip for the identity warp (matches the reference convention:
+    # my_arap texture coords + textureSampling, get_pixelValue.py:34-35)
+    uv = (verts_src / big).astype(np.float32)
 
     backend = jax.default_backend()
     if backend not in ('cpu',):
@@ -298,18 +301,42 @@ def warp_for_image_with_idx(catalog, landmark_dict, hair_key: str,
         np.asarray(landmark_dict[face_key]), use_arap=use_arap)
 
 
+def _crop_for_warp(img: np.ndarray, editor, crop_size: int) -> np.ndarray:
+    """FFHQ-align one raw photo at `crop_size` before shape transfer
+    (ref: wrap_codes/mask_adaptor.py:186-200 crops BOTH images at 1024).
+
+    Landmarks come from the parsing-contour estimator on the raw image's
+    parse (the reference uses dlib 68 on the raw image)."""
+    from ctrlhair_tpu.ops.crop import recreate_aligned_image
+    from ctrlhair_tpu.ops.landmarks import estimate_landmarks_68
+
+    label512 = np.asarray(
+        editor.parse(editor.params, jnp.asarray(img)[None])[0])
+    lm68 = estimate_landmarks_68(label512)
+    lm68_px = lm68 * np.array([img.shape[1], img.shape[0]], np.float64)
+    out, _ = recreate_aligned_image(img, lm68_px, crop_size)
+    return out
+
+
 def warp_hair_mask_between_images(hair_img: np.ndarray,
                                   face_img: np.ndarray, editor,
-                                  use_arap: bool = True) -> np.ndarray:
-    """End-to-end reference-shape transfer between two images
-    (ref: wrap_codes/mask_adaptor.py:175-220, crop path excluded).
+                                  use_arap: bool = True,
+                                  need_crop: bool = True,
+                                  crop_size: int = 1024) -> np.ndarray:
+    """End-to-end reference-shape transfer between two raw images
+    (ref: wrap_codes/mask_adaptor.py:175-220).
 
-    Parses both images with the editor's BiSeNet, estimates landmarks from
-    the parsings (see ops/landmarks.py), warps, and returns a 256x256
-    composite parsing label map.
+    Mirrors the reference chain: FFHQ-align BOTH images at `crop_size`
+    (skippable for pre-aligned inputs), re-parse the crops, estimate 81
+    landmarks from the crop parses, warp, and return a 256x256 composite
+    parsing label map.
     """
     from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
     from ctrlhair_tpu.ops.resize import resize_nearest
+
+    if need_crop:
+        hair_img = _crop_for_warp(np.asarray(hair_img), editor, crop_size)
+        face_img = _crop_for_warp(np.asarray(face_img), editor, crop_size)
 
     hair512 = np.asarray(
         editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])

@@ -183,9 +183,11 @@ class Backend:
         """(ref: ui/backend.py:266-302)"""
         if flag == 'shape':
             from ctrlhair_tpu.ops.warp import warp_hair_mask_between_images
+            # backend inputs are already aligned by set_input_img, so the
+            # 1024 crop stage is skipped (ref: ui/backend.py:275 need_crop=False)
             wt = warp_hair_mask_between_images(
                 self.target_img, self.input_img,
-                editor=self.editor)
+                editor=self.editor, need_crop=False)
             self.warp_target = wt
             oh = label_to_one_hot(jnp.asarray(wt, jnp.int32)[None])
             hair, face = split_hair_face(oh)

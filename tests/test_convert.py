@@ -186,7 +186,9 @@ def test_ct_discriminator_conversion_structure(rng):
     dis = CTDiscriminator(cfg)
     target = dis.init(jax.random.PRNGKey(0),
                       {'code': jnp.zeros((1, 64))})
-    out_dim = 1 + cfg.noise_dim + cfg.curliness_dim
+    # head width mirrors the reference quirk incl. the dangling pca_std unit
+    # (ref: model.py:98-105): 1 + noise + pca_std + curliness
+    out_dim = 1 + cfg.noise_dim + 1 + cfg.curliness_dim
     sd = _fake_mlp_sd(rng, 'net', [64, 32, 32, 32, 32, out_dim])
     conv = ti.convert_ct_discriminator(sd, cfg.d_hidden_layer_num)
     _assert_same_structure(conv, target)
@@ -275,8 +277,10 @@ def test_shape_generator_conversion_structure(rng):
     label = jnp.zeros((1, 32, 32), jnp.int32)
     hair, face = split_hair_face(label_to_one_hot(label))
     target = gen.init(jax.random.PRNGKey(0), hair, face)
-    conv = ti.convert_shape_generator(_fake_shape_gen_sd(rng, cfg),
-                                      cfg.layer_num)
+    conv = ti.convert_shape_generator(
+        _fake_shape_gen_sd(rng, cfg), cfg.layer_num,
+        img_size=cfg.img_size, hidden_in_channel=cfg.hidden_in_channel,
+        max_channel=cfg.max_channel)
     _assert_same_structure(conv, target)
     mask, _ = gen.apply(jax.tree_util.tree_map(jnp.asarray, conv),
                         hair, face)

@@ -28,7 +28,9 @@ def test_load_reference_params(tmp_path):
                 for k, v in _fake_sean_sd(rng, cfg.sean).items()}, sean_path)
 
     ct_path = str(tmp_path / 'ct.ckpt')
-    out_dim = 1 + cfg.color_texture.noise_dim + cfg.color_texture.curliness_dim
+    # 1 + noise + pca_std(dangling) + curliness (ref: model.py:98-105)
+    out_dim = (1 + cfg.color_texture.noise_dim + 1
+               + cfg.color_texture.curliness_dim)
     dis_sd = _fake_mlp_sd(rng, 'net', [cfg.color_texture.style_dim]
                           + [cfg.color_texture.d_hidden_dim] * 4 + [out_dim])
     # DDP-wrapped generator, plain discriminator (exercises prefix strip)

@@ -1,0 +1,95 @@
+# Multi-chip training equivalence for the CONV models (VERDICT r1 item 5):
+# a data-parallel sharded train step must produce numerically the same
+# parameters as the single-device step.  This is the DDP-semantics gate the
+# reference gets from torch DDP + SynchronizedBatchNorm
+# (ref: shape_branch/solver.py:53-57, sync_batchnorm/batchnorm.py:50-80);
+# here jit + NamedSharding makes gradient all-reduce AND global batch-norm
+# statistics automatic (XLA inserts the collectives).
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ctrlhair_tpu.config import BiSeNetConfig, ShapeConfig
+from ctrlhair_tpu.parallel import mesh as pmesh
+
+
+def _assert_tree_allclose(a, b, atol=3e-5, rtol=3e-5):
+    fa = jax.tree_util.tree_flatten_with_path(a)[0]
+    fb = jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for (path, x), y in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=atol, rtol=rtol,
+            err_msg='/'.join(str(p) for p in path))
+
+
+def test_bisenet_dp_step_equals_single_device():
+    """BiSeNet (BatchNorm conv stack): sharded step == single-device step,
+    including the updated running statistics — proving batch-norm stats are
+    computed over the GLOBAL batch (sync-BN), not per-shard."""
+    from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
+
+    assert len(jax.devices()) >= 8
+    cfg = BiSeNetConfig(input_size=32)
+    rng = np.random.default_rng(0)
+    batch = {
+        'image': jnp.asarray(rng.standard_normal((8, 32, 32, 3)),
+                             jnp.float32),
+        'label': jnp.asarray(rng.integers(0, 19, (8, 32, 32)), jnp.int32),
+    }
+
+    tr = BiSeNetTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    single, m1 = tr.train_step(state, batch, jax.random.PRNGKey(2))
+    single_params = jax.device_get(single.model.params)
+    single_stats = jax.device_get(single.stats)
+
+    tr2 = BiSeNetTrainer(cfg)
+    state2 = tr2.init_state(jax.random.PRNGKey(0))
+    mesh = pmesh.make_mesh(8, tp=1)
+    with mesh:
+        state2 = jax.device_put(state2, pmesh.replicated(mesh))
+        sbatch = pmesh.shard_batch(batch, mesh)
+        sharded, m2 = tr2.train_step(state2, sbatch, jax.random.PRNGKey(2))
+        jax.block_until_ready(sharded)
+    assert bool(m1['finite']) and bool(m2['finite'])
+    _assert_tree_allclose(jax.device_get(sharded.model.params),
+                          single_params)
+    # global-batch BN statistics (the sync-BN collective path)
+    _assert_tree_allclose(jax.device_get(sharded.stats), single_stats)
+
+
+def test_shape_trainer_dp_tp_step_equals_single_device():
+    """Shape mask VAE-GAN (strided conv encoders/decoders): one fused
+    D/G/Dz step over a ('dp','tp') mesh matches the single-device step."""
+    from ctrlhair_tpu.training.shape_trainer import (ShapeTrainer,
+                                                     synthetic_batch)
+
+    assert len(jax.devices()) >= 8
+    cfg = ShapeConfig(img_size=32, layer_num=4, max_channel=64,
+                      hidden_in_channel=8, face_dim=32)
+    batch = synthetic_batch(jax.random.PRNGKey(1), cfg, 8)
+
+    tr = ShapeTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    single, m1 = tr.train_step(state, batch, jax.random.PRNGKey(2))
+    single_gen = jax.device_get(single.gen.params)
+    single_dis = jax.device_get(single.dis.params)
+
+    tr2 = ShapeTrainer(cfg)
+    state2 = tr2.init_state(jax.random.PRNGKey(0))
+    mesh = pmesh.make_mesh(8, tp=2)
+    with mesh:
+        state2 = state2.replace(
+            gen=state2.gen.replace(
+                params=pmesh.shard_params(state2.gen.params, mesh)),
+            dis=state2.dis.replace(
+                params=pmesh.shard_params(state2.dis.params, mesh)))
+        sbatch = pmesh.shard_batch(batch, mesh)
+        sharded, m2 = tr2.train_step(state2, sbatch, jax.random.PRNGKey(2))
+        jax.block_until_ready(sharded)
+    assert bool(m1['finite']) and bool(m2['finite'])
+    _assert_tree_allclose(jax.device_get(sharded.gen.params), single_gen)
+    _assert_tree_allclose(jax.device_get(sharded.dis.params), single_dis)

@@ -43,6 +43,8 @@ def test_pallas_rasterizer_identity_fallback(rng):
     out = np.asarray(rasterize_uv_pallas(
         jnp.asarray(verts), jnp.asarray(pad), jnp.asarray(uv),
         size, size, interpret=True))
-    xs = np.arange(size) / (size - 1)
+    # identity UV convention is p/size (exact round trip through sample_uv,
+    # matching the reference textureSampling contract)
+    xs = np.arange(size) / size
     np.testing.assert_allclose(out[0, :, 0], xs, atol=1e-6)
     np.testing.assert_allclose(out[:, 0, 1], xs, atol=1e-6)
