@@ -32,6 +32,12 @@ BISENET_TO_CELEBA = np.array(
     dtype=np.int32,
 )
 
+# Inverse permutation: CELEBA_TO_BISENET[celeba_id] = bisenet_id.  Permuting
+# the LOGIT channels with this before argmax yields CelebA ids directly —
+# a free layout op instead of a [N,512,512] gather after argmax (the remap
+# is a bijection, so argmax commutes with it).
+CELEBA_TO_BISENET = np.argsort(BISENET_TO_CELEBA).astype(np.int32)
+
 # Visualisation colours (one per class), used by mask_to_rgb.
 PARSING_COLOR_LIST = np.array([
     [0, 0, 0], [204, 0, 0], [76, 153, 0], [204, 204, 0], [51, 51, 255],

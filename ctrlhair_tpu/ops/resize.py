@@ -29,8 +29,14 @@ def resize_nearest(img: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     are disambiguated by `channels_last`: here we resize the LAST TWO spatial
     dims if img.ndim >= 3 and img.shape[-1] <= 32 is NOT assumed; callers pass
     spatial-last arrays [..., H, W] or NHWC via resize_nearest_nhwc.
+
+    Integer-factor downscales take a strided-slice fast path (floor(i*f)
+    == i*f exactly there) — a layout op instead of a TPU gather.
     """
     h, w = out_hw
+    h_in, w_in = img.shape[-2], img.shape[-1]
+    if h_in % h == 0 and w_in % w == 0 and h <= h_in and w <= w_in:
+        return img[..., ::h_in // h, ::w_in // w]
     iy = _src_index_nearest(h, img.shape[-2])
     ix = _src_index_nearest(w, img.shape[-1])
     return img[..., iy[:, None], ix[None, :]]

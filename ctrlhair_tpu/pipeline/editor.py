@@ -25,7 +25,7 @@ import numpy as np
 
 from ctrlhair_tpu.config import PipelineConfig
 from ctrlhair_tpu.constants import (
-    BACKGROUND_IDX, BISENET_TO_CELEBA, HAIR_IDX, NUM_CLASSES)
+    BACKGROUND_IDX, HAIR_IDX, NUM_CLASSES)
 from ctrlhair_tpu.models.bisenet import BiSeNet, normalize_imagenet
 from ctrlhair_tpu.models.color_texture import (
     CTDiscriminator, Predictor, make_generator)
@@ -127,8 +127,11 @@ class HairEditorTPU:
             x = resize_bilinear_nhwc(x, (size, size), align_corners=False)
         x = normalize_imagenet(x)
         logits = self.bisenet.apply(params['bisenet'], x)
-        raw = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jnp.asarray(BISENET_TO_CELEBA)[raw]
+        # channel permutation before argmax == label remap after argmax
+        # (bijective map; avoids a [N,512,512] gather, which crawls on TPU)
+        from ctrlhair_tpu.constants import CELEBA_TO_BISENET
+        logits = logits[..., jnp.asarray(CELEBA_TO_BISENET)]
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def _analyze(self, params, img_u8_256: jnp.ndarray,
                  img_u8_512: jnp.ndarray):

@@ -15,6 +15,28 @@ import jax
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compile cache for the test suite: the full suite is dominated
+# by XLA:CPU compiles of tiny pipelines (round-1 wall time >10 min), and
+# re-runs recompile everything.  CPU AOT artifacts are only unsafe across
+# machines with different CPU features (can SIGILL), so key the cache dir
+# by a CPU fingerprint — same-host re-runs hit, foreign caches never match.
+import hashlib
+
+
+def _cpu_cache_dir() -> str:
+    try:
+        with open('/proc/cpuinfo') as f:
+            sig = next(line for line in f if line.startswith('flags'))
+    except Exception:
+        import platform
+        sig = platform.platform()
+    h = hashlib.sha1(sig.encode()).hexdigest()[:12]
+    return f'/tmp/ctrlhair_xla_test_cache_{h}'
+
+
+jax.config.update('jax_compilation_cache_dir', _cpu_cache_dir())
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 import numpy as np
 import pytest
 
