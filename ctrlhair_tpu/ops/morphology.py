@@ -1,15 +1,15 @@
-# Binary morphology with cv2-elliptical structuring elements, as XLA convs.
+# Binary morphology with cv2-elliptical structuring elements.
 #
 # The reference dilates hair masks with cv2 ellipse kernels on the host
 # (ref: hair_editor.py:296-305, get_hair_color erosion :240-241).  Here the
-# kernel is a static constant and dilate/erode are a single conv + compare —
-# fused by XLA, batched, differentiable-free.
+# footprint is decomposed into shifted elementwise max/min combines (per-row
+# horizontal doubling spans + vertical shift-combine) — exact vs cv2, fully
+# fusable VPU work, batched.
 
 from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,33 +39,82 @@ def ellipse_kernel(ksize: int) -> np.ndarray:
     return kernel
 
 
-def _conv2d_same(x: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
-    """[..., H, W] (x) static [k, k] -> same-size correlation, zero padded."""
-    k = jnp.asarray(kernel, jnp.float32)
-    batch_shape = x.shape[:-2]
-    h, w = x.shape[-2:]
-    xx = x.reshape((-1, 1) + (h, w)).astype(jnp.float32)
-    out = jax.lax.conv_general_dilated(
-        xx, k[None, None], window_strides=(1, 1),
-        padding=[(kernel.shape[0] // 2,) * 2, (kernel.shape[1] // 2,) * 2],
-        dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
-    return out.reshape(batch_shape + (h, w))
+def _shift2d(x: jnp.ndarray, d: int, axis: int, fill: float) -> jnp.ndarray:
+    """Shift x by d along axis (positive = towards higher index), filling
+    vacated entries with `fill` (cv2 zero-border semantics)."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if d > 0:
+        pad[axis] = (d, 0)
+        sl[axis] = slice(0, x.shape[axis])
+    else:
+        pad[axis] = (0, -d)
+        sl[axis] = slice(-d, x.shape[axis] - d)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _ellipse_filter(x: jnp.ndarray, ksize: int, combine, fill: float
+                    ) -> jnp.ndarray:
+    """min/max filter of [..., H, W] over the elliptical footprint, built
+    from shifted elementwise combines instead of a conv.
+
+    XLA lowers large-window single-channel convs catastrophically on TPU
+    (a standalone 13x13 dilate-conv measured ~520 ms at 256px); this
+    decomposition — per-row horizontal span filters via doubling, then a
+    vertical shift-combine — is exact and pure fused VPU work (~100x).
+    """
+    kern = ellipse_kernel(ksize)
+    r = ksize // 2
+    h_axis, w_axis = x.ndim - 2, x.ndim - 1
+
+    # each ellipse row is a centred run of width 2*dx+1 -> group rows by dx
+    dx_rows = {}
+    for i in range(ksize):
+        width = int(kern[i].sum())
+        if width > 0:
+            dx_rows.setdefault((width - 1) // 2, []).append(i - r)
+
+    def span(dx):
+        """combine over horizontal offsets [-dx, dx], by doubling."""
+        right = x  # covers offsets [0, L-1]
+        length = 1
+        while length < dx + 1:
+            step = min(length, dx + 1 - length)
+            right = combine(right, _shift2d(right, -step, w_axis, fill))
+            length += step
+        left = x
+        length = 1
+        while length < dx + 1:
+            step = min(length, dx + 1 - length)
+            left = combine(left, _shift2d(left, step, w_axis, fill))
+            length += step
+        return combine(left, right)
+
+    out = None
+    for dx, dys in sorted(dx_rows.items()):
+        hm = span(dx)
+        for dy in dys:
+            t = _shift2d(hm, dy, h_axis, fill)
+            out = t if out is None else combine(out, t)
+    return out
 
 
 def dilate(mask: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:
-    """Binary dilation of [..., H, W] {0,1} mask with an ellipse kernel."""
-    kernel = ellipse_kernel(ksize)
+    """Binary dilation of [..., H, W] {0,1} mask with an ellipse kernel
+    (cv2.dilate zero-border semantics, bit-exact vs cv2 in tests)."""
     out = mask.astype(jnp.float32)
     for _ in range(iterations):
-        out = (_conv2d_same(out, kernel) > 0).astype(jnp.float32)
+        out = _ellipse_filter(out, ksize, jnp.maximum, 0.0)
     return out
 
 
 def erode(mask: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:
-    """Binary erosion of [..., H, W] {0,1} mask with an ellipse kernel."""
-    kernel = ellipse_kernel(ksize)
-    ksum = kernel.sum()
+    """Binary erosion of [..., H, W] {0,1} mask with an ellipse kernel
+    (zero border: pixels whose footprint leaves the image erode away,
+    matching the previous conv formulation and cv2 on interior pixels)."""
     out = mask.astype(jnp.float32)
     for _ in range(iterations):
-        out = (_conv2d_same(out, kernel) >= ksum - 0.5).astype(jnp.float32)
+        out = _ellipse_filter(out, ksize, jnp.minimum, 0.0)
     return out
