@@ -20,6 +20,7 @@
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -261,9 +262,12 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     # my_arap texture coords + textureSampling, get_pixelValue.py:34-35)
     uv = (verts_src / big).astype(np.float32)
 
-    backend = jax.default_backend()
-    if backend not in ('cpu',):
-        # on-accelerator: the fused Pallas rasteriser (VMEM-resident tiles)
+    if os.environ.get('CTRLHAIR_PALLAS_RASTER', '0') == '1' \
+            and jax.default_backend() not in ('cpu',):
+        # alternative: the Pallas tiled rasteriser.  Measured slower end to
+        # end than the XLA chunked-einsum path (11.1 vs 0.39 ms at 672px,
+        # scripts/raster_timing.py) because its host-side triangle binning
+        # alone costs ~8 ms — kept for study/regression, not the default.
         from ctrlhair_tpu.ops.raster_pallas import rasterize_uv_pallas
         uv_map = rasterize_uv_pallas(
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
