@@ -40,29 +40,52 @@ def crop_quad_from_landmarks(lm_68: np.ndarray) -> Tuple[np.ndarray, float]:
     return quad, float(qsize)
 
 
-def _quad_sample(img: jnp.ndarray, quad: np.ndarray, out_size: int,
-                 supersample: int = 2) -> jnp.ndarray:
+def _quad_sample(img, quad: np.ndarray, out_size: int,
+                 supersample: int = 2):
     """Bilinear sample of `img` over the quad (NW,SW,SE,NE), box-filtered
     from a supersampled grid — the antialiasing the reference gets from its
-    4096px intermediate + ANTIALIAS downscale."""
+    4096px intermediate + ANTIALIAS downscale.
+
+    Dispatches on input type: numpy in, numpy out (pure host math — the
+    crop stage's image shape is data-dependent, so a device version would
+    both recompile per shape and ship the full padded image over the
+    host<->device link); jnp in, jnp out (jit-able, same formula).
+    """
+    xp = np if isinstance(img, np.ndarray) else jnp
     s = out_size * supersample
-    u = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
-    uu, vv = jnp.meshgrid(u, u)            # uu: x across, vv: y down
-    nw, sw, se, ne = [jnp.asarray(q, jnp.float32) for q in quad]
+    u = (xp.arange(s, dtype=xp.float32) + 0.5) / s
+    uu, vv = xp.meshgrid(u, u)             # uu: x across, vv: y down
+    nw, sw, se, ne = [xp.asarray(q, xp.float32) for q in quad]
     top = nw[None, None] * (1 - uu[..., None]) + ne[None, None] * uu[..., None]
     bot = sw[None, None] * (1 - uu[..., None]) + se[None, None] * uu[..., None]
     src = top * (1 - vv[..., None]) + bot * vv[..., None]   # [s,s,2] x,y
 
+    if xp is np:
+        try:
+            import cv2
+            # SIMD gather (~10x the numpy fancy-index path); cv2.remap
+            # quantises coordinates to 1/32 px — invisible at supersample 2
+            out = cv2.remap(img.astype(np.float32),
+                            src[..., 0] - 0.5, src[..., 1] - 0.5,
+                            interpolation=cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_REPLICATE)
+            if supersample > 1:
+                out = out.reshape(out_size, supersample, out_size,
+                                  supersample, -1).mean(axis=(1, 3))
+            return out
+        except ImportError:
+            pass
+
     h, w = img.shape[:2]
     xf = src[..., 0] - 0.5
     yf = src[..., 1] - 0.5
-    x0 = jnp.clip(jnp.floor(xf), 0, w - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(yf), 0, h - 1).astype(jnp.int32)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    fx = jnp.clip(xf - x0, 0, 1)[..., None]
-    fy = jnp.clip(yf - y0, 0, 1)[..., None]
-    imf = img.astype(jnp.float32)
+    x0 = xp.clip(xp.floor(xf), 0, w - 1).astype(xp.int32)
+    y0 = xp.clip(xp.floor(yf), 0, h - 1).astype(xp.int32)
+    x1 = xp.clip(x0 + 1, 0, w - 1)
+    y1 = xp.clip(y0 + 1, 0, h - 1)
+    fx = xp.clip(xf - x0, 0, 1)[..., None]
+    fy = xp.clip(yf - y0, 0, 1)[..., None]
+    imf = img.astype(xp.float32)
     out = (imf[y0, x0] * (1 - fx) * (1 - fy) + imf[y0, x1] * fx * (1 - fy)
            + imf[y1, x0] * (1 - fx) * fy + imf[y1, x1] * fx * fy)
     if supersample > 1:
@@ -89,11 +112,27 @@ def _perspective_from_quad(quad: np.ndarray) -> np.ndarray:
 def _gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
     """Per-channel gaussian blur matching scipy.ndimage semantics
     (truncate=4); routed through cv2's optimised separable filter when
-    available (the scipy path is ~10x slower at 1024px)."""
+    available (the scipy path is ~10x slower at 1024px).
+
+    For the wide feather blurs this stage uses (sigma ~ qsize*0.02, often
+    >10), the direct separable filter is O(sigma) per pixel (~370 ms at
+    1624px); blur a downscaled pyramid level instead — a sigma-14 gaussian
+    band-limits the image so the decimation loses nothing visible."""
     if sigma <= 0:
         return img
     try:
         import cv2
+        scale = int(min(max(sigma / 3.0, 1.0), 8.0))
+        if scale > 1 and min(img.shape[:2]) > 4 * scale:
+            h, w = img.shape[:2]
+            small = cv2.resize(img, (w // scale, h // scale),
+                               interpolation=cv2.INTER_AREA)
+            s = sigma / scale
+            radius = int(4.0 * s + 0.5)
+            k = 2 * radius + 1
+            small = cv2.GaussianBlur(small, (k, k), sigmaX=s, sigmaY=s,
+                                     borderType=cv2.BORDER_REFLECT)
+            return cv2.resize(small, (w, h), interpolation=cv2.INTER_LINEAR)
         radius = int(4.0 * sigma + 0.5)
         k = 2 * radius + 1
         return cv2.GaussianBlur(img, (k, k), sigmaX=sigma, sigmaY=sigma,
@@ -118,15 +157,23 @@ def recreate_aligned_image(img: np.ndarray, lm_68: np.ndarray,
     quad, qsize = crop_quad_from_landmarks(lm_68)
     points = np.asarray(lm_68, np.float64)
 
-    # shrink
+    # shrink (host: the shape is data-dependent and the image large — a
+    # device resize would recompile per shape and round-trip the full image
+    # over the host<->device link; cv2 INTER_LINEAR == our bilinear)
     shrink = int(np.floor(qsize / output_size * 0.5))
     if shrink > 1:
         rsize = (int(np.rint(img.shape[0] / shrink)),
                  int(np.rint(img.shape[1] / shrink)))
-        from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
-        img = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(
-            jnp.asarray(img, jnp.float32)[None], rsize)[0]), 0, 255)
-        ).astype(np.uint8)
+        try:
+            import cv2
+            img = np.clip(np.rint(cv2.resize(
+                img.astype(np.float32), (rsize[1], rsize[0]),
+                interpolation=cv2.INTER_LINEAR)), 0, 255).astype(np.uint8)
+        except ImportError:
+            from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
+            img = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(
+                jnp.asarray(img, jnp.float32)[None], rsize)[0]), 0, 255)
+            ).astype(np.uint8)
         quad = quad / shrink
         qsize /= shrink
         points = points / shrink
@@ -165,13 +212,20 @@ def recreate_aligned_image(img: np.ndarray, lm_68: np.ndarray,
         blur = qsize * 0.02
         imgf += (_gaussian_blur(imgf, blur)
                  - imgf) * np.clip(mask * 3.0 + 1.0, 0.0, 1.0)
-        imgf += (np.median(imgf, axis=(0, 1)) - imgf) * np.clip(mask, 0, 1)
+        # global per-channel median: estimate on a strided grid (>=256k
+        # samples) — the exact 2.6M-pixel median costs ~160 ms for a
+        # quantity that only sets the far-field fill colour
+        step = max(1, int(np.sqrt(h * w / 262144.0)))
+        med = np.median(imgf[::step, ::step], axis=(0, 1))
+        imgf += (med - imgf) * np.clip(mask, 0, 1)
         img = np.uint8(np.clip(np.rint(imgf), 0, 255))
         quad = quad + pad[:2]
 
-    # resample + landmark reprojection
-    out = _quad_sample(jnp.asarray(img), quad + 0.5, output_size)
-    out = np.asarray(jnp.clip(jnp.round(out), 0, 255)).astype(np.uint8)
+    # resample + landmark reprojection (host numpy: the source shape here is
+    # data-dependent — a device call would recompile per shape and upload
+    # the whole padded image per crop)
+    out = _quad_sample(np.asarray(img), quad + 0.5, output_size)
+    out = np.clip(np.rint(out), 0, 255).astype(np.uint8)
     hmat = _perspective_from_quad(quad + 0.5)
     hom = np.concatenate([points, np.ones((len(points), 1))], 1) @ hmat.T
     points = (hom[:, :2] / hom[:, 2:]) * output_size

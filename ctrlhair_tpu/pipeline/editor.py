@@ -41,7 +41,7 @@ from ctrlhair_tpu.utils.masks import (
     label_to_one_hot, one_hot_to_label, split_hair_face)
 
 
-def enable_compilation_cache(path: str = '/tmp/ctrlhair_xla_cache') -> None:
+def enable_compilation_cache(path: Optional[str] = None) -> None:
     """Persistent XLA compilation cache: first-run compiles of the fused
     pipeline programs take minutes over the device tunnel; cached reloads
     take seconds.  Safe to call multiple times.  Skipped on CPU: XLA:CPU AOT
@@ -50,6 +50,9 @@ def enable_compilation_cache(path: str = '/tmp/ctrlhair_xla_cache') -> None:
     try:
         if jax.default_backend() == 'cpu':
             return
+        if path is None:
+            path = os.environ.get('CTRLHAIR_XLA_CACHE',
+                                  '/tmp/ctrlhair_xla_cache')
         jax.config.update('jax_compilation_cache_dir', path)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
     except Exception:
@@ -95,19 +98,26 @@ class HairEditorTPU:
             'pca_std': jnp.zeros((1, 1)),
         }
         jinit = lambda m: jax.jit(m.init)  # compile init: one XLA program
-        return {
-            'sean': jinit(self.sean)(k[0], img, label),
-            'bisenet': jinit(self.bisenet)(k[1], img512),
-            'shape': jinit(self.shape_gen)(k[2], hair, face),
-            'ct_gen': jinit(self.ct_gen)(k[3], ct_data),
-            'ct_dis': jinit(self.ct_dis)(k[4], code),
-            'rgb_pred': jinit(self.rgb_pred)(k[5], code),
-            'curliness_pred': jinit(self.curliness_pred)(k[6], code),
-            # median per-region style codes (ref: hair_editor.py:130-147);
-            # zeros mean "no fallback available".
-            'style_fallback': jnp.zeros(
-                (NUM_CLASSES, cfg.sean.style_dim), jnp.float32),
+        tasks = {
+            'sean': lambda: jinit(self.sean)(k[0], img, label),
+            'bisenet': lambda: jinit(self.bisenet)(k[1], img512),
+            'shape': lambda: jinit(self.shape_gen)(k[2], hair, face),
+            'ct_gen': lambda: jinit(self.ct_gen)(k[3], ct_data),
+            'ct_dis': lambda: jinit(self.ct_dis)(k[4], code),
+            'rgb_pred': lambda: jinit(self.rgb_pred)(k[5], code),
+            'curliness_pred': lambda: jinit(self.curliness_pred)(k[6], code),
         }
+        # the seven init compiles are independent: overlap them (XLA compile
+        # releases the GIL; measured ~1.6x for 2 threads, more for 7)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+            futs = {name: ex.submit(fn) for name, fn in tasks.items()}
+            params = {name: f.result() for name, f in futs.items()}
+        # median per-region style codes (ref: hair_editor.py:130-147);
+        # zeros mean "no fallback available".
+        params['style_fallback'] = jnp.zeros(
+            (NUM_CLASSES, cfg.sean.style_dim), jnp.float32)
+        return params
 
     def load_style_fallback(self, folder: str) -> None:
         """Load per-class median ACE codes from <folder>/<class>/ACE.npy."""
@@ -245,7 +255,79 @@ class HairEditorTPU:
         self.blend = jax.jit(self._blend)
         self.output = jax.jit(self._output)
 
+    # ------------------------------------------------------------ warm start
+    def warm_start(self, batch_sizes: Tuple[int, ...] = (1,),
+                   input_sizes: Tuple[int, ...] = (256,),
+                   block: bool = True):
+        """Compile the interactive programs ahead of first use, in parallel.
+
+        Lowering needs only shapes, so every (program, batch) pair compiles
+        concurrently in threads (XLA compile releases the GIL).  With the
+        persistent compilation cache on, the dispatch-path 'compile' at the
+        first real call deserializes the artifact written here.  The
+        reference has no analog — its first edit pays the full model load
+        (ref: hair_editor.py:45-119).  Returns the list of threads when
+        block=False so a UI can start serving while warming.
+        """
+        import threading
+
+        s = self.cfg.edit_size
+        u8 = jnp.uint8
+        sd = jax.ShapeDtypeStruct
+        pshapes = jax.tree_util.tree_map(
+            lambda x: sd(x.shape, x.dtype), self.params)
+
+        def lat(b):
+            return Latent(hsv=sd((b, 3), jnp.float32),
+                          pca_std=sd((b, 1), jnp.float32),
+                          curliness=sd((b, 1), jnp.float32),
+                          texture=sd((b, self.cfg.color_texture.noise_dim),
+                                     jnp.float32),
+                          shape=sd((b, self.cfg.shape.hair_dim), jnp.float32),
+                          face=sd((b, self.cfg.shape.face_dim), jnp.float32))
+
+        jobs = []
+        for b in batch_sizes:
+            codes = sd((b, NUM_CLASSES, self.cfg.sean.style_dim),
+                       jnp.float32)
+            img256 = sd((b, s, s, 3), u8)
+            label = sd((b, s, s), jnp.int32)
+            jobs.append((self.output,
+                         (pshapes, codes, lat(b), img256, label, label)))
+            jobs.append((self.decode_mask,
+                         (pshapes, lat(b).shape, lat(b).face)))
+            for isz in input_sizes:
+                imgN = sd((b, isz, isz, 3), u8)
+                jobs.append((self.analyze, (pshapes, img256, imgN)))
+
+        threads = [threading.Thread(
+            target=lambda f=f, a=a: f.lower(*a).compile(), daemon=True)
+            for f, a in jobs]
+        for t in threads:
+            t.start()
+        if block:
+            for t in threads:
+                t.join()
+        return threads
+
     # ----------------------------------------------------------- convenience
+    def _shrink_for_parse(self, img_rgb: np.ndarray) -> np.ndarray:
+        """Host-side pre-resize of oversized inputs to the parse resolution
+        before upload: cv2 INTER_LINEAR computes the same bilinear _parse
+        would apply on device (same align_corners=False sampling; the only
+        difference is this path's re-quantisation to uint8, <=0.5/255),
+        and shipping 512px instead of 1024px quarters the transfer."""
+        size = self.cfg.bisenet.input_size
+        if img_rgb.shape[0] <= size and img_rgb.shape[1] <= size:
+            return img_rgb
+        try:
+            import cv2
+            out = cv2.resize(img_rgb.astype(np.float32), (size, size),
+                             interpolation=cv2.INTER_LINEAR)
+            return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        except ImportError:
+            return img_rgb
+
     def crop_face(self, img_rgb: np.ndarray,
                   output_size: Optional[int] = None) -> np.ndarray:
         """Align+crop a face to the edit resolution (ref: hair_editor.py:312-
@@ -256,8 +338,11 @@ class HairEditorTPU:
         from ctrlhair_tpu.ops.landmarks import estimate_landmarks_68
 
         label512 = np.asarray(
-            self.parse(self.params, jnp.asarray(img_rgb)[None])[0])
-        lm68 = estimate_landmarks_68(label512) * img_rgb.shape[1]
+            self.parse(self.params,
+                       jnp.asarray(self._shrink_for_parse(img_rgb))[None]
+                       )[0].astype(jnp.uint8))   # u8: 4x less downlink
+        lm68 = estimate_landmarks_68(label512.astype(np.int32)) \
+            * img_rgb.shape[1]
         out, _ = recreate_aligned_image(
             img_rgb, lm68, output_size or self.cfg.edit_size)
         return out
