@@ -37,10 +37,6 @@ def main():
     t0 = time.time()
     editor = HairEditorTPU(cfg, seed=0)
     log(f'init params: {time.time() - t0:.1f}s')
-    # compile every interactive program concurrently (AOT, threads)
-    t0 = time.time()
-    editor.warm_start(batch_sizes=(1, batch), input_sizes=(256,))
-    log(f'warm start (parallel AOT compiles): {time.time() - t0:.1f}s')
 
     # input image: first reference sample if available, else synthetic
     img = None
@@ -56,36 +52,52 @@ def main():
         img = np.random.default_rng(0).integers(
             0, 255, (256, 256, 3), dtype=np.uint8)
 
+    # interactive readiness: what a UI needs before the first slider tick is
+    # exactly the batch-1 analyze + edit programs — measure those first, then
+    # warm the batched programs
     t0 = time.time()
     res = editor.analyze_image(img)
     jax.block_until_ready(res['sean_codes'])
-    log(f'analyze (compile+run): {time.time() - t0:.1f}s')
+    log(f'analyze b1 (compile/deserialize+run): {time.time() - t0:.1f}s')
 
-    # batched edit inputs: replicate codes/labels, vary the latent per item
     from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
-    codes = jnp.tile(res['sean_codes'], (batch, 1, 1))
-    label = jnp.tile(res['label'], (batch, 1, 1))
     img256 = jnp.clip(jnp.round(resize_bilinear_nhwc(
         jnp.asarray(img, jnp.float32)[None], (256, 256))), 0, 255
     ).astype(jnp.uint8)
-    face_img = jnp.tile(img256, (batch, 1, 1, 1))
     lat = res['latent']
     rng = np.random.default_rng(1)
-    latent = Latent(
-        hsv=jnp.asarray(rng.uniform([0, 0, 0], [179, 255, 255],
-                                    (batch, 3)), jnp.float32),
-        pca_std=jnp.asarray(rng.uniform(20, 120, (batch, 1)), jnp.float32),
-        curliness=jnp.asarray(rng.standard_normal((batch, 1)), jnp.float32),
-        texture=jnp.asarray(rng.standard_normal((batch, 8)), jnp.float32),
-        shape=jnp.tile(lat.shape, (batch, 1)),
-        face=jnp.tile(lat.face, (batch, 1)))
+
+    def make_latent(b):
+        return Latent(
+            hsv=jnp.asarray(rng.uniform([0, 0, 0], [179, 255, 255],
+                                        (b, 3)), jnp.float32),
+            pca_std=jnp.asarray(rng.uniform(20, 120, (b, 1)), jnp.float32),
+            curliness=jnp.asarray(rng.standard_normal((b, 1)), jnp.float32),
+            texture=jnp.asarray(rng.standard_normal((b, 8)), jnp.float32),
+            shape=jnp.tile(lat.shape, (b, 1)),
+            face=jnp.tile(lat.face, (b, 1)))
+
+    lat1 = make_latent(1)
+    one = lambda l: editor.output(editor.params, res['sean_codes'], l,
+                                  img256, res['label'], res['label'])
+    t0 = time.time()
+    jax.block_until_ready(one(lat1))
+    log(f'edit b1 (compile/deserialize+run): {time.time() - t0:.1f}s')
+    interactive_ready_s = time.time() - t_start
+    log(f'interactive ready (init + b1 analyze + first edit): '
+        f'{interactive_ready_s:.1f}s')
+
+    # batched edit inputs: replicate codes/labels, vary the latent per item
+    codes = jnp.tile(res['sean_codes'], (batch, 1, 1))
+    label = jnp.tile(res['label'], (batch, 1, 1))
+    face_img = jnp.tile(img256, (batch, 1, 1, 1))
+    latent = make_latent(batch)
 
     args = (editor.params, codes, latent, face_img, label, label)
-
     t0 = time.time()
     out = editor.output(*args)
     jax.block_until_ready(out)
-    log(f'edit program compile+first run: {time.time() - t0:.1f}s')
+    log(f'edit program b{batch} compile+first run: {time.time() - t0:.1f}s')
 
     for _ in range(warmup):
         jax.block_until_ready(editor.output(*args))
@@ -103,13 +115,6 @@ def main():
 
     # p50 single-edit latency — vary the latent each call so no layer of the
     # stack can elide or overlap the computation
-    lat1 = jax.tree_util.tree_map(lambda x: x[:1], latent)
-    one = lambda l: editor.output(editor.params, codes[:1], l, face_img[:1],
-                                  label[:1], label[:1])
-    jax.block_until_ready(one(lat1))
-    interactive_ready_s = time.time() - t_start
-    log(f'interactive ready (init+compiles+first edit): '
-        f'{interactive_ready_s:.1f}s')
     lats = []
     for i in range(30):
         li = lat1.replace(texture=lat1.texture + 0.01 * i)

@@ -64,7 +64,12 @@ class HairEditorTPU:
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
-                 compilation_cache: bool = True):
+                 compilation_cache: bool = True,
+                 warm_batches: Optional[Tuple[int, ...]] = None):
+        """warm_batches: batch sizes to AOT-compile the interactive programs
+        for, CONCURRENTLY with parameter initialisation (compiling needs only
+        parameter shapes, which jax.eval_shape provides for free).  Call
+        join_warm() to block until those compiles land."""
         if compilation_cache:
             enable_compilation_cache()
         self.cfg = cfg
@@ -76,11 +81,22 @@ class HairEditorTPU:
         self.ct_dis = CTDiscriminator(cfg.color_texture)
         self.rgb_pred = Predictor(cfg.rgb_predictor)
         self.curliness_pred = Predictor(cfg.curliness_predictor)
-        self.params = params if params is not None else self.init_params(seed)
+        self.params = None
         self._build_jitted()
+        self._warm_threads = []
+        self.params = params if params is not None else self.init_params(seed)
+        if warm_batches:
+            self._warm_threads = self.warm_start(
+                batch_sizes=warm_batches, block=False)
+
+    def join_warm(self) -> None:
+        for t in self._warm_threads:
+            t.join()
+        self._warm_threads = []
 
     # ------------------------------------------------------------------ init
-    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+    def _init_tasks(self, seed: int):
+        """name -> zero-arg init callable, one jittable program each."""
         cfg = self.cfg
         k = jax.random.split(jax.random.PRNGKey(seed), 8)
         s = cfg.edit_size
@@ -98,25 +114,41 @@ class HairEditorTPU:
             'pca_std': jnp.zeros((1, 1)),
         }
         jinit = lambda m: jax.jit(m.init)  # compile init: one XLA program
-        tasks = {
-            'sean': lambda: jinit(self.sean)(k[0], img, label),
-            'bisenet': lambda: jinit(self.bisenet)(k[1], img512),
-            'shape': lambda: jinit(self.shape_gen)(k[2], hair, face),
-            'ct_gen': lambda: jinit(self.ct_gen)(k[3], ct_data),
-            'ct_dis': lambda: jinit(self.ct_dis)(k[4], code),
-            'rgb_pred': lambda: jinit(self.rgb_pred)(k[5], code),
-            'curliness_pred': lambda: jinit(self.curliness_pred)(k[6], code),
+        # (fn, key) pairs: the key is passed as the (abstract-able) argument
+        # so param_shapes can jax.eval_shape these without running them
+        return {
+            'sean': (lambda kk: jinit(self.sean)(kk, img, label), k[0]),
+            'bisenet': (lambda kk: jinit(self.bisenet)(kk, img512), k[1]),
+            'shape': (lambda kk: jinit(self.shape_gen)(kk, hair, face), k[2]),
+            'ct_gen': (lambda kk: jinit(self.ct_gen)(kk, ct_data), k[3]),
+            'ct_dis': (lambda kk: jinit(self.ct_dis)(kk, code), k[4]),
+            'rgb_pred': (lambda kk: jinit(self.rgb_pred)(kk, code), k[5]),
+            'curliness_pred': (
+                lambda kk: jinit(self.curliness_pred)(kk, code), k[6]),
         }
+
+    def param_shapes(self, seed: int = 0) -> Dict[str, Any]:
+        """The parameter pytree as ShapeDtypeStructs — no compile, no data;
+        enough to AOT-lower every pipeline program before init finishes."""
+        shapes = {name: jax.eval_shape(fn, key)
+                  for name, (fn, key) in self._init_tasks(seed).items()}
+        shapes['style_fallback'] = jax.ShapeDtypeStruct(
+            (NUM_CLASSES, self.cfg.sean.style_dim), jnp.float32)
+        return shapes
+
+    def init_params(self, seed: int = 0) -> Dict[str, Any]:
+        tasks = self._init_tasks(seed)
         # the seven init compiles are independent: overlap them (XLA compile
         # releases the GIL; measured ~1.6x for 2 threads, more for 7)
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
-            futs = {name: ex.submit(fn) for name, fn in tasks.items()}
+            futs = {name: ex.submit(fn, key)
+                    for name, (fn, key) in tasks.items()}
             params = {name: f.result() for name, f in futs.items()}
         # median per-region style codes (ref: hair_editor.py:130-147);
         # zeros mean "no fallback available".
         params['style_fallback'] = jnp.zeros(
-            (NUM_CLASSES, cfg.sean.style_dim), jnp.float32)
+            (NUM_CLASSES, self.cfg.sean.style_dim), jnp.float32)
         return params
 
     def load_style_fallback(self, folder: str) -> None:
@@ -259,56 +291,61 @@ class HairEditorTPU:
     def warm_start(self, batch_sizes: Tuple[int, ...] = (1,),
                    input_sizes: Tuple[int, ...] = (256,),
                    block: bool = True):
-        """Compile the interactive programs ahead of first use, in parallel.
+        """Warm every interactive program ahead of first real use.
 
-        Lowering needs only shapes, so every (program, batch) pair compiles
-        concurrently in threads (XLA compile releases the GIL).  With the
-        persistent compilation cache on, the dispatch-path 'compile' at the
-        first real call deserializes the artifact written here.  The
-        reference has no analog — its first edit pays the full model load
+        Runs each (program, batch) pair on zero-filled inputs through the
+        normal dispatch path — the dispatch path is what consults the
+        persistent compilation cache, so on a previously-seen machine this
+        is pure deserialization.  (An AOT .lower().compile() variant was
+        measured to bypass the persistent cache, and CONCURRENT compiles
+        degrade super-linearly on the remote-compile relay — 6 threaded
+        jobs took 3.7x the sequential total — so warming is sequential, on
+        one background thread when block=False.)  The reference has no
+        analog — its first edit pays the full model load
         (ref: hair_editor.py:45-119).  Returns the list of threads when
         block=False so a UI can start serving while warming.
         """
         import threading
 
         s = self.cfg.edit_size
-        u8 = jnp.uint8
-        sd = jax.ShapeDtypeStruct
-        pshapes = jax.tree_util.tree_map(
-            lambda x: sd(x.shape, x.dtype), self.params)
+        params = self.params
 
         def lat(b):
-            return Latent(hsv=sd((b, 3), jnp.float32),
-                          pca_std=sd((b, 1), jnp.float32),
-                          curliness=sd((b, 1), jnp.float32),
-                          texture=sd((b, self.cfg.color_texture.noise_dim),
-                                     jnp.float32),
-                          shape=sd((b, self.cfg.shape.hair_dim), jnp.float32),
-                          face=sd((b, self.cfg.shape.face_dim), jnp.float32))
+            return Latent(hsv=jnp.zeros((b, 3), jnp.float32),
+                          pca_std=jnp.zeros((b, 1), jnp.float32),
+                          curliness=jnp.zeros((b, 1), jnp.float32),
+                          texture=jnp.zeros(
+                              (b, self.cfg.color_texture.noise_dim),
+                              jnp.float32),
+                          shape=jnp.zeros((b, self.cfg.shape.hair_dim),
+                                          jnp.float32),
+                          face=jnp.zeros((b, self.cfg.shape.face_dim),
+                                         jnp.float32))
 
         jobs = []
         for b in batch_sizes:
-            codes = sd((b, NUM_CLASSES, self.cfg.sean.style_dim),
-                       jnp.float32)
-            img256 = sd((b, s, s, 3), u8)
-            label = sd((b, s, s), jnp.int32)
+            codes = jnp.zeros((b, NUM_CLASSES, self.cfg.sean.style_dim),
+                              jnp.float32)
+            img256 = jnp.zeros((b, s, s, 3), jnp.uint8)
+            label = jnp.zeros((b, s, s), jnp.int32)
             jobs.append((self.output,
-                         (pshapes, codes, lat(b), img256, label, label)))
+                         (params, codes, lat(b), img256, label, label)))
             jobs.append((self.decode_mask,
-                         (pshapes, lat(b).shape, lat(b).face)))
+                         (params, lat(b).shape, lat(b).face)))
             for isz in input_sizes:
-                imgN = sd((b, isz, isz, 3), u8)
-                jobs.append((self.analyze, (pshapes, img256, imgN)))
+                imgN = jnp.zeros((b, isz, isz, 3), jnp.uint8)
+                jobs.append((self.analyze, (params, img256, imgN)))
 
-        threads = [threading.Thread(
-            target=lambda f=f, a=a: f.lower(*a).compile(), daemon=True)
-            for f, a in jobs]
-        for t in threads:
-            t.start()
+        def run_all():
+            for f, a in jobs:
+                jax.block_until_ready(f(*a))
+
         if block:
-            for t in threads:
-                t.join()
-        return threads
+            run_all()
+            return []
+        t = threading.Thread(target=run_all, daemon=True)
+        t.start()
+        return [t]
 
     # ----------------------------------------------------------- convenience
     def _shrink_for_parse(self, img_rgb: np.ndarray) -> np.ndarray:
