@@ -53,7 +53,7 @@ class Backend:
         self.target_img = None
         self.input_mask = None         # parsed label [256,256]
         self.target_mask = None
-        self.cur_mask = None           # regenerated label [256,256]
+        self.cur_mask = None           # regenerated label [256,256] (lazy)
         self.cur_latent: Optional[Latent] = None
         self.target_latent: Optional[Latent] = None
         self.input_sean_code = None    # [1,19,512]
@@ -101,13 +101,22 @@ class Backend:
     def output(self, target_latent: Optional[Latent] = None,
                feature=None) -> np.ndarray:
         """Render the edited image (ref: ui/backend.py:147-175)."""
+        if target_latent is not None and feature is None and self.blending:
+            # fused tick: mask decode + render + blend in ONE program and
+            # ONE host sync (the mask comes back as a second output)
+            out, mask = self.editor.output_refresh(
+                self.editor.params, self.input_sean_code, target_latent,
+                jnp.asarray(self.input_img)[None],
+                jnp.asarray(self.input_mask)[None])
+            self.cur_mask = mask[0]   # device array: lazy
+            return np.asarray(out[0])
         if target_latent is None:
             target_latent = self.cur_latent
-            target_mask = jnp.asarray(self.cur_mask)[None]
+            target_mask = self._cur_mask_batched()
         else:
             target_mask = self.editor.decode_mask(
                 self.editor.params, target_latent.shape, target_latent.face)
-            self.cur_mask = np.asarray(target_mask[0])
+            self.cur_mask = target_mask[0]   # device array: lazy
         img = self.editor.edit_render(
             self.editor.params, self.input_sean_code, target_mask,
             target_latent, feature)
@@ -140,7 +149,7 @@ class Backend:
     def change_shape(self, val: float, idx: int) -> None:
         self.continue_change_with_direction('shape', self.shape_dirs[idx],
                                             val)
-        self.refresh_cur_mask()
+        self._refresh_mask_async()
 
     def change_texture(self, val: float, idx: int) -> None:
         self.continue_change_with_direction('texture',
@@ -153,7 +162,7 @@ class Backend:
                                            jnp.asarray(val))
         self.cur_latent = self.cur_latent.replace(**{att_name: moved})
         if att_name == 'shape':
-            self.refresh_cur_mask()
+            self._refresh_mask_async()
 
     # ---------------------------------------------------------- frontend IO
     def get_curliness_be2fe(self):
@@ -198,19 +207,48 @@ class Backend:
                                  method=sg.encode_face)
             self.target_latent = self.target_latent.replace(
                 shape=shape_code, face=face_code)
-            self.refresh_cur_mask()
+            self._refresh_mask_async()
 
         self.cur_latent = latent_ops.transfer(self.cur_latent,
                                               self.target_latent, flag)
         if flag == 'shape' and refresh:
-            self.refresh_cur_mask()
+            self._refresh_mask_async()
 
-    def refresh_cur_mask(self, target_latent: Optional[Latent] = None):
+    # cur_mask is device-backed and materialised lazily: per-tick internal
+    # refreshes (change_shape -> output) never force a host sync for it —
+    # the mask rides the device queue into the next edit program, and only
+    # an actual host read (get_cur_mask, .cur_mask) synchronises.
+    @property
+    def cur_mask(self):
+        if self._cur_mask_np is None and self._cur_mask_dev is not None:
+            self._cur_mask_np = np.asarray(self._cur_mask_dev)
+        return self._cur_mask_np
+
+    @cur_mask.setter
+    def cur_mask(self, value):
+        if value is None or isinstance(value, np.ndarray):
+            self._cur_mask_np, self._cur_mask_dev = value, None
+        else:
+            self._cur_mask_np, self._cur_mask_dev = None, value
+
+    def _cur_mask_batched(self) -> jnp.ndarray:
+        """[1,S,S] device label, without a host round trip if possible."""
+        if self._cur_mask_dev is not None:
+            return self._cur_mask_dev[None]
+        return jnp.asarray(self._cur_mask_np)[None]
+
+    def _refresh_mask_async(self,
+                            target_latent: Optional[Latent] = None) -> None:
+        """Decode the mask for the current latent WITHOUT reading it back;
+        the device array chains into the next program on the queue."""
         if target_latent is None:
             target_latent = self.cur_latent
         out = self.editor.decode_mask(
             self.editor.params, target_latent.shape, target_latent.face)
-        self.cur_mask = np.asarray(out[0])
+        self.cur_mask = out[0]   # device array: lazy
+
+    def refresh_cur_mask(self, target_latent: Optional[Latent] = None):
+        self._refresh_mask_async(target_latent)
         return self.cur_mask, mask_to_rgb(self.cur_mask, draw_type=1)
 
     def get_cur_mask(self):
@@ -260,7 +298,7 @@ class Backend:
         self.cur_latent = self.cur_latent.replace(
             shape=jnp.asarray(
                 self._rng.standard_normal((1, SHAPE_DIM)), jnp.float32))
-        self.refresh_cur_mask()
+        self._refresh_mask_async()
 
     def get_random_curliness(self) -> None:
         self.cur_latent = self.cur_latent.replace(

@@ -276,6 +276,16 @@ class HairEditorTPU:
         img = self._edit_render(params, sean_codes, target_label, latent)
         return self._blend(params, face_img_u8, img, face_label, target_label)
 
+    def _output_refresh(self, params, sean_codes, latent: Latent,
+                        face_img_u8, face_label):
+        """Shape-editing tick: decode the mask FROM the latent, render and
+        blend under it — one program, one host sync, vs the reference's
+        decoder/generator/blend round trips (ref: ui/backend.py:155-175).
+        Returns (edited image, decoded label)."""
+        label = self._decode_mask(params, latent.shape, latent.face)
+        return self._output(params, sean_codes, latent, face_img_u8,
+                            face_label, label), label
+
     # --------------------------------------------------------------- jitting
     def _build_jitted(self):
         self.analyze = jax.jit(self._analyze)
@@ -286,6 +296,7 @@ class HairEditorTPU:
         self.edit_render = jax.jit(self._edit_render)
         self.blend = jax.jit(self._blend)
         self.output = jax.jit(self._output)
+        self.output_refresh = jax.jit(self._output_refresh)
 
     # ------------------------------------------------------------ warm start
     def warm_start(self, batch_sizes: Tuple[int, ...] = (1,),
@@ -330,6 +341,8 @@ class HairEditorTPU:
             label = jnp.zeros((b, s, s), jnp.int32)
             jobs.append((self.output,
                          (params, codes, lat(b), img256, label, label)))
+            jobs.append((self.output_refresh,
+                         (params, codes, lat(b), img256, label)))
             jobs.append((self.decode_mask,
                          (params, lat(b).shape, lat(b).face)))
             for isz in input_sizes:

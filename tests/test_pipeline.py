@@ -184,3 +184,26 @@ def test_blending_path():
     be.set_input_img(img)
     out = be.output()
     assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+    # the fused decode+render+blend tick (output_refresh) must equal the
+    # unfused decode_mask -> edit_render -> blend chain exactly
+    lat = be.cur_latent.replace(shape=be.cur_latent.shape + 0.3)
+    fused = be.output(target_latent=lat)
+    mask_fused = be.cur_mask.copy()
+    mask = be.editor.decode_mask(be.editor.params, lat.shape, lat.face)
+    img_r = be.editor.edit_render(be.editor.params, be.input_sean_code,
+                                  mask, lat)
+    unfused = be.editor.blend(
+        be.editor.params, jnp.asarray(be.input_img)[None], img_r,
+        jnp.asarray(be.input_mask)[None], mask)
+    np.testing.assert_array_equal(fused, np.asarray(unfused[0]))
+    np.testing.assert_array_equal(mask_fused, np.asarray(mask[0]))
+
+    # shape-slider tick: async mask refresh + no-target output stays
+    # consistent with an eager refresh
+    be.change_shape(0.7, 0)
+    out2 = be.output()
+    m_async = be.cur_mask.copy()
+    m_eager, _ = be.refresh_cur_mask()
+    np.testing.assert_array_equal(m_async, m_eager)
+    assert out2.shape == (64, 64, 3)
