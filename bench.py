@@ -171,6 +171,44 @@ def main():
         extra['analyze_per_sec'] = round(
             batch * max(iters // 4, 2) / (time.time() - t0), 2)
 
+        # config 3: shape edit via reference mask — full warp chain
+        # (landmarks -> Delaunay+Steiner -> native ARAP -> rasterize ->
+        # composite) + shape re-encode + fused decode/render/blend
+        from ctrlhair_tpu.pipeline.backend import Backend
+        be = Backend(blending=True, cfg=cfg, editor=editor)
+        files2 = sorted(f for f in os.listdir('/root/reference/imgs')
+                        if f.endswith('.png')) if os.path.isdir(
+                            '/root/reference/imgs') else []
+        if len(files2) >= 2:
+            from ctrlhair_tpu.utils.image import read_rgb
+            be.set_input_img(read_rgb(
+                os.path.join('/root/reference/imgs', files2[-1])))
+            be.set_target_img(read_rgb(
+                os.path.join('/root/reference/imgs', files2[0])))
+            be.transfer_latent_representation('shape')   # warm compiles
+            jax.block_until_ready(be.output(be.cur_latent))
+            t0 = time.time()
+            reps3 = 3
+            for _ in range(reps3):
+                be.transfer_latent_representation('shape')
+                out3 = be.output(be.cur_latent)
+            dt3 = (time.time() - t0) / reps3
+            extra['shape_transfer_ms'] = round(dt3 * 1000, 1)
+
+            # config 5: batch interpolation between the two image latents,
+            # rendered through the batched edit program
+            alphas = np.linspace(0, 1, batch)
+            jax.block_until_ready(jnp.asarray(
+                be.interpolation_sweep(be.cur_latent, be.target_latent,
+                                       alphas)))
+            t0 = time.time()
+            reps5 = 3
+            for _ in range(reps5):
+                sweep = be.interpolation_sweep(be.cur_latent,
+                                               be.target_latent, alphas)
+            extra['interp_sweep_per_sec'] = round(
+                batch * reps5 / (time.time() - t0), 2)
+
         # config 4: full pipeline from a 1024px input (crop + parse + edit
         # + blend), single image end to end
         big = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(

@@ -23,9 +23,12 @@ _build_failed = False
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile the native library with g++. Returns True on success."""
+    """Compile the native library with g++ (rebuilds when the source is
+    newer than the built library). Returns True on success."""
     global _build_failed
-    if os.path.exists(_LIB_PATH) and not force:
+    src = os.path.join(_DIR, 'arap.cpp')
+    if (os.path.exists(_LIB_PATH) and not force
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
         return True
     try:
         subprocess.run(

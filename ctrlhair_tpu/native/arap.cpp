@@ -169,9 +169,20 @@ extern "C" int arap_solve_2d(const double* verts, int n_verts,
     for (int i = 0; i < n_verts; ++i) { xx[i] = u[2 * i]; xy[i] = u[2 * i + 1]; }
     cg_solve(adj, diag, is_free, xx, bx, 200, 1e-8);
     cg_solve(adj, diag, is_free, xy, by, 200, 1e-8);
+    double max_move = 0.0;
     for (int i = 0; i < n_verts; ++i) {
-      if (is_free[i]) { u[2 * i] = xx[i]; u[2 * i + 1] = xy[i]; }
+      if (is_free[i]) {
+        const double dx = xx[i] - u[2 * i], dy = xy[i] - u[2 * i + 1];
+        const double m = std::fabs(dx) + std::fabs(dy);
+        if (m > max_move) max_move = m;
+        u[2 * i] = xx[i]; u[2 * i + 1] = xy[i];
+      }
     }
+    // fixed-point early exit: the local-global alternation typically
+    // converges in 10-30 sweeps; below 1e-4 px per sweep further
+    // iterations change nothing visible (the reference always runs the
+    // full 100, my_arap.cpp:183)
+    if (max_move < 1e-4) break;
   }
 
   std::memcpy(out_verts, u.data(), sizeof(double) * 2 * n_verts);

@@ -342,10 +342,19 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
         hair_img = _crop_for_warp(np.asarray(hair_img), editor, crop_size)
         face_img = _crop_for_warp(np.asarray(face_img), editor, crop_size)
 
-    hair512 = np.asarray(
-        editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])
-    face512 = np.asarray(
-        editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
+    hair_img, face_img = np.asarray(hair_img), np.asarray(face_img)
+    if hair_img.shape == face_img.shape:
+        # one batched parse + one downlink for both images
+        both = np.asarray(editor.parse(
+            editor.params, jnp.stack([jnp.asarray(hair_img),
+                                      jnp.asarray(face_img)])
+        ).astype(jnp.uint8)).astype(np.int32)
+        hair512, face512 = both[0], both[1]
+    else:
+        hair512 = np.asarray(
+            editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])
+        face512 = np.asarray(
+            editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
     hair_lm = estimate_landmarks_81(hair512)
     face_lm = estimate_landmarks_81(face512)
     composite = hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,

@@ -198,13 +198,8 @@ class Backend:
                 self.target_img, self.input_img,
                 editor=self.editor, need_crop=False)
             self.warp_target = wt
-            oh = label_to_one_hot(jnp.asarray(wt, jnp.int32)[None])
-            hair, face = split_hair_face(oh)
-            sg = self.editor.shape_gen
-            _, shape_code, _ = sg.apply(self.editor.params['shape'], hair,
-                                        method=sg.encode_hair)
-            face_code = sg.apply(self.editor.params['shape'], face,
-                                 method=sg.encode_face)
+            shape_code, face_code = self.editor.encode_shape(
+                self.editor.params, jnp.asarray(wt, jnp.int32)[None])
             self.target_latent = self.target_latent.replace(
                 shape=shape_code, face=face_code)
             self._refresh_mask_async()
@@ -329,9 +324,18 @@ class Backend:
 
     def interpolation_sweep(self, l1: Latent, l2: Latent,
                             alphas) -> np.ndarray:
-        """Render latent interpolations for every alpha in one batch."""
-        lats = latent_ops.stack_latents(
-            [self.interpolate(l1, l2, float(a)) for a in np.asarray(alphas)])
+        """Render latent interpolations for every alpha in one batch.
+
+        The interpolation itself is batched — alpha enters as [N,1] and
+        broadcasts against the [1,d] endpoint latents — instead of a host
+        loop of N per-alpha latent constructions (~200 small dispatches at
+        N=32, which dominated the sweep through the device relay)."""
+        a = jnp.asarray(alphas, jnp.float32)[:, None]
+        n = a.shape[0]
+        lats = latent_ops.interpolate(l1, l2, a)
+        lats = lats.replace(face=self.cur_latent.face)
+        lats = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:]), lats)
         return self.output_batch(lats)
 
     def random_texture_sweep(self, n: int) -> np.ndarray:

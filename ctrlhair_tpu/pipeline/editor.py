@@ -219,6 +219,18 @@ class HairEditorTPU:
                                     method=self.shape_gen.decode)
         return one_hot_to_label(mask)
 
+    def _encode_shape(self, params, label):
+        """[N,S,S] label -> (shape_code [N,16], face_code [N,1024]) as ONE
+        program (eager flax apply dispatches each conv separately —
+        ~0.5 s through the device relay)."""
+        oh = label_to_one_hot(label)
+        hair, face = split_hair_face(oh)
+        _, shape_code, _ = self.shape_gen.apply(
+            params['shape'], hair, method=self.shape_gen.encode_hair)
+        face_code = self.shape_gen.apply(
+            params['shape'], face, method=self.shape_gen.encode_face)
+        return shape_code, face_code
+
     def _feature(self, params, latent: Latent) -> jnp.ndarray:
         """latent -> 512-d hair style code (ref: ui/backend.py:161-169)."""
         data = {'noise': latent.texture,
@@ -291,6 +303,7 @@ class HairEditorTPU:
         self.analyze = jax.jit(self._analyze)
         self.parse = jax.jit(self._parse)
         self.decode_mask = jax.jit(self._decode_mask)
+        self.encode_shape = jax.jit(self._encode_shape)
         self.feature = jax.jit(self._feature)
         self.render = jax.jit(self._render)
         self.edit_render = jax.jit(self._edit_render)

@@ -234,7 +234,11 @@ def main(argv=None):
     ap.add_argument('--no-blending', action='store_true')
     args = ap.parse_args(argv)
 
-    backend = Backend(blending=not args.no_blending)
+    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+    # warm the interactive (batch-1) programs on a background thread while
+    # the server starts accepting requests
+    backend = Backend(blending=not args.no_blending,
+                      editor=HairEditorTPU(warm_batches=(1,)))
     editor = WebEditor(backend)
     if args.input:
         editor.load_input(read_rgb(args.input))

@@ -166,6 +166,11 @@ def test_output_batch_and_sweeps(loaded):
     out = be.interpolation_sweep(be.cur_latent, be.target_latent,
                                  [0.0, 0.5, 1.0])
     assert out.shape == (3, 64, 64, 3) and out.dtype == np.uint8
+    # the batched-alpha sweep equals a per-alpha host loop
+    from ctrlhair_tpu.pipeline.latent import stack_latents
+    lats = stack_latents([be.interpolate(be.cur_latent, be.target_latent,
+                                         a) for a in (0.0, 0.5, 1.0)])
+    np.testing.assert_array_equal(out, be.output_batch(lats))
     rnd = be.random_texture_sweep(4)
     assert rnd.shape == (4, 64, 64, 3)
     # batch render of a single latent equals single output
