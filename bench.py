@@ -143,9 +143,9 @@ def main():
         f'{p50_device_ms:.1f} ms')
 
     extra = {}
-    if os.environ.get('BENCH_EXTRA', '1') == '1':
+
+    def shape_edit_extra():
         # config-2-style: shape-refresh (mask decode) + render + blend
-        t0 = time.time()
         m = editor.decode_mask(editor.params, latent.shape, latent.face)
         jax.block_until_ready(m)
         args_shape = (editor.params, codes, latent, face_img, label, m)
@@ -157,9 +157,8 @@ def main():
         extra['shape_edit_per_sec'] = round(
             batch * max(iters // 2, 3) / (time.time() - t0), 2)
 
+    def analyze_extra():
         # analysis (parse + all encoders) throughput
-        a_args = (editor.params, img256, jnp.tile(
-            jnp.asarray(img)[None], (1, 1, 1, 1)))
         imgs512 = jnp.tile(jnp.asarray(img)[None], (batch, 1, 1, 1))
         imgs256 = jnp.tile(img256, (batch, 1, 1, 1))
         jax.block_until_ready(
@@ -171,44 +170,46 @@ def main():
         extra['analyze_per_sec'] = round(
             batch * max(iters // 4, 2) / (time.time() - t0), 2)
 
+    def transfer_and_sweep_extra():
         # config 3: shape edit via reference mask — full warp chain
         # (landmarks -> Delaunay+Steiner -> native ARAP -> rasterize ->
         # composite) + shape re-encode + fused decode/render/blend
         from ctrlhair_tpu.pipeline.backend import Backend
-        be = Backend(blending=True, cfg=cfg, editor=editor)
         files2 = sorted(f for f in os.listdir('/root/reference/imgs')
                         if f.endswith('.png')) if os.path.isdir(
                             '/root/reference/imgs') else []
-        if len(files2) >= 2:
-            from ctrlhair_tpu.utils.image import read_rgb
-            be.set_input_img(read_rgb(
-                os.path.join('/root/reference/imgs', files2[-1])))
-            be.set_target_img(read_rgb(
-                os.path.join('/root/reference/imgs', files2[0])))
-            be.transfer_latent_representation('shape')   # warm compiles
-            jax.block_until_ready(be.output(be.cur_latent))
-            t0 = time.time()
-            reps3 = 3
-            for _ in range(reps3):
-                be.transfer_latent_representation('shape')
-                out3 = be.output(be.cur_latent)
-            dt3 = (time.time() - t0) / reps3
-            extra['shape_transfer_ms'] = round(dt3 * 1000, 1)
+        if len(files2) < 2:
+            return
+        from ctrlhair_tpu.utils.image import read_rgb
+        be = Backend(blending=True, cfg=cfg, editor=editor)
+        be.set_input_img(read_rgb(
+            os.path.join('/root/reference/imgs', files2[-1])))
+        be.set_target_img(read_rgb(
+            os.path.join('/root/reference/imgs', files2[0])))
+        be.transfer_latent_representation('shape')   # warm compiles
+        jax.block_until_ready(be.output(be.cur_latent))
+        t0 = time.time()
+        reps3 = 3
+        for _ in range(reps3):
+            be.transfer_latent_representation('shape')
+            be.output(be.cur_latent)
+        extra['shape_transfer_ms'] = round(
+            (time.time() - t0) / reps3 * 1000, 1)
 
-            # config 5: batch interpolation between the two image latents,
-            # rendered through the batched edit program
-            alphas = np.linspace(0, 1, batch)
-            jax.block_until_ready(jnp.asarray(
-                be.interpolation_sweep(be.cur_latent, be.target_latent,
-                                       alphas)))
-            t0 = time.time()
-            reps5 = 3
-            for _ in range(reps5):
-                sweep = be.interpolation_sweep(be.cur_latent,
-                                               be.target_latent, alphas)
-            extra['interp_sweep_per_sec'] = round(
-                batch * reps5 / (time.time() - t0), 2)
+        # config 5: batch interpolation between the two image latents,
+        # rendered through the batched edit program
+        alphas = np.linspace(0, 1, batch)
+        jax.block_until_ready(jnp.asarray(
+            be.interpolation_sweep(be.cur_latent, be.target_latent,
+                                   alphas)))
+        t0 = time.time()
+        reps5 = 3
+        for _ in range(reps5):
+            be.interpolation_sweep(be.cur_latent, be.target_latent, alphas)
+        extra['interp_sweep_per_sec'] = round(
+            batch * reps5 / (time.time() - t0), 2)
 
+    def full_1024_extra():
         # config 4: full pipeline from a 1024px input (crop + parse + edit
         # + blend), single image end to end
         big = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(
@@ -227,6 +228,16 @@ def main():
             jax.block_until_ready(out)
         extra['full_1024_input_ms'] = round(
             (time.time() - t0) / reps * 1000, 1)
+
+    if os.environ.get('BENCH_EXTRA', '1') == '1':
+        # each extra is independent: one failing (or timing out and being
+        # killed later) must not cost the headline JSON line or the others
+        for fn in (shape_edit_extra, analyze_extra, transfer_and_sweep_extra,
+                   full_1024_extra):
+            try:
+                fn()
+            except Exception as e:   # noqa: BLE001
+                log(f'extra {fn.__name__} failed: {e!r}')
         log(f'extras: {extra}')
 
     print(json.dumps({

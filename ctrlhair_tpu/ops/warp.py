@@ -273,13 +273,22 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
             jnp.asarray(uv), big, big)
     else:
-        uv_map = rasterize_uv(jnp.asarray(verts_dst, jnp.float32),
-                              jnp.asarray(tris_pad), jnp.asarray(uv),
-                              big, big)
+        # rasterize + UV gather + threshold as ONE device dispatch
+        warped = np.asarray(_rasterize_sample(
+            jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
+            jnp.asarray(uv), jnp.asarray(total), big))
+        warped = warped[pad:-pad, pad:-pad]
+        return naive_transfer(warped * HAIR_IDX, face_parsing)
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
     warped = (warped > 0.5)[pad:-pad, pad:-pad]
 
     return naive_transfer(warped * HAIR_IDX, face_parsing)
+
+
+@functools.partial(jax.jit, static_argnames=('size',))
+def _rasterize_sample(verts_dst, tris_pad, uv, total, size: int):
+    uv_map = rasterize_uv(verts_dst, tris_pad, uv, size, size)
+    return sample_uv(total, uv_map) > 0.5
 
 
 def warp_for_image_with_idx(catalog, landmark_dict, hair_key: str,
