@@ -53,17 +53,17 @@ def main():
             0, 255, (256, 256, 3), dtype=np.uint8)
 
     # interactive readiness: what a UI needs before the first slider tick is
-    # exactly the batch-1 analyze + edit programs — measure those first, then
-    # warm the batched programs
-    t0 = time.time()
-    res = editor.analyze_image(img)
-    jax.block_until_ready(res['sean_codes'])
-    log(f'analyze b1 (compile/deserialize+run): {time.time() - t0:.1f}s')
-
+    # exactly the batch-1 analyze + edit programs at the edit resolution
+    # (the UI crops/aligns to 256px before analysis) — measure those first,
+    # then warm the batched programs
     from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc
     img256 = jnp.clip(jnp.round(resize_bilinear_nhwc(
         jnp.asarray(img, jnp.float32)[None], (256, 256))), 0, 255
     ).astype(jnp.uint8)
+    t0 = time.time()
+    res = editor.analyze_image(np.asarray(img256[0]))
+    jax.block_until_ready(res['sean_codes'])
+    log(f'analyze b1 (compile/deserialize+run): {time.time() - t0:.1f}s')
     lat = res['latent']
     rng = np.random.default_rng(1)
 

@@ -93,3 +93,52 @@ def test_shape_trainer_dp_tp_step_equals_single_device():
     assert bool(m1['finite']) and bool(m2['finite'])
     _assert_tree_allclose(jax.device_get(sharded.gen.params), single_gen)
     _assert_tree_allclose(jax.device_get(sharded.dis.params), single_dis)
+
+
+def test_sean_trainer_dp_step_equals_single_device():
+    """SEAN pix2pix trainer (sync-BN generator + multiscale D + spectral
+    norm): the data-parallel sharded step equals the single-device step,
+    replacing the reference's DataParallelWithCallback + sync_batchnorm
+    (ref: sean_codes/trainers/pix2pix_trainer.py:20-23)."""
+    from ctrlhair_tpu.config import SEANConfig
+    from ctrlhair_tpu.training.sean_trainer import SEANTrainer
+
+    assert len(jax.devices()) >= 8
+    cfg = SEANConfig(crop_size=32, ngf=4, zencoder_ngf=4, style_dim=32,
+                     use_ace_noise=False)
+    rng = np.random.default_rng(5)
+    batch = {
+        'image': jnp.asarray(
+            rng.standard_normal((8, 32, 32, 3)), jnp.float32) * 0.5,
+        'label': jnp.asarray(rng.integers(0, 19, (8, 32, 32)), jnp.int32),
+    }
+
+    tr = SEANTrainer(cfg, use_vgg=False)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    single, m1 = tr.train_step(state, batch, jax.random.PRNGKey(2))
+    single_gen = jax.device_get(single.gen.params)
+    single_stats = jax.device_get(single.gen_stats)
+
+    tr2 = SEANTrainer(cfg, use_vgg=False)
+    state2 = tr2.init_state(jax.random.PRNGKey(0))
+    mesh = pmesh.make_mesh(8, tp=1)
+    with mesh:
+        state2 = jax.device_put(state2, pmesh.replicated(mesh))
+        sbatch = pmesh.shard_batch(batch, mesh)
+        sharded, m2 = tr2.train_step(state2, sbatch, jax.random.PRNGKey(2))
+        jax.block_until_ready(m2)
+    assert bool(m1['finite']) and bool(m2['finite'])
+    # losses over the global batch match exactly-ish: if BN statistics or
+    # gradient reduction were per-shard these diverge materially
+    for key in ('g_total', 'd_total'):
+        np.testing.assert_allclose(float(m1[key]), float(m2[key]),
+                                   rtol=1e-4, err_msg=key)
+    # sync-BN running stats computed over the GLOBAL batch (linear in the
+    # batch -> tight tolerance)
+    _assert_tree_allclose(jax.device_get(sharded.gen_stats), single_stats)
+    # parameters after one Adam step: Adam normalises each grad to ~±lr, so
+    # a near-zero gradient whose SIGN flips under f32 reduction reordering
+    # moves a weight by up to 2*lr — compare within that bound (the tight
+    # gates above are what detect real DP bugs)
+    _assert_tree_allclose(jax.device_get(sharded.gen.params), single_gen,
+                          atol=2.5e-4, rtol=1e-3)
