@@ -95,6 +95,90 @@ def load_reference_params(editor, *,
     return editor.params
 
 
+def load_native_params(editor, *,
+                       color_texture_dir: Optional[str] = None,
+                       shape_dir: Optional[str] = None,
+                       rgb_predictor_dir: Optional[str] = None,
+                       curliness_predictor_dir: Optional[str] = None,
+                       bisenet_dir: Optional[str] = None,
+                       sean_dir: Optional[str] = None,
+                       seed: int = 0) -> Dict[str, Any]:
+    """Load checkpoints trained by THIS framework (training/run_*.py,
+    utils/checkpoint manifest format) into editor.params — the native
+    analog of the reference's model_trained/ loading sweep
+    (ref: hair_editor.py:45-119).  Each dir is a trainer checkpoint
+    directory; missing/absent dirs leave that family's current params.
+    Returns the updated params dict (also set on the editor).
+    """
+    import jax
+    from ctrlhair_tpu.utils.checkpoint import load_checkpoint
+
+    params = dict(editor.params)
+    rng = jax.random.PRNGKey(seed)
+
+    def restore(ckpt_dir, make_state):
+        if not ckpt_dir or not os.path.isdir(ckpt_dir):
+            return None
+        res = load_checkpoint(ckpt_dir, make_state())
+        return res[0] if res else None
+
+    def variables(model_params, stats):
+        # trainers store model.params as the single-collection variables
+        # dict {'params': ...}; graft the running stats back in
+        out = dict(model_params)
+        if stats:
+            out['batch_stats'] = stats
+        return out
+
+    if color_texture_dir:
+        from ctrlhair_tpu.training.color_texture_trainer import (
+            ColorTextureTrainer)
+        tr = ColorTextureTrainer(editor.cfg.color_texture)
+        st = restore(color_texture_dir, lambda: tr.init_state(rng)[0])
+        if st is not None:
+            # gen/dis hold the FULL variables dict (init collections)
+            params['ct_gen'] = st.gen.params
+            params['ct_dis'] = st.dis.params
+
+    if shape_dir:
+        from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
+        tr = ShapeTrainer(editor.cfg.shape)
+        st = restore(shape_dir, lambda: tr.init_state(rng))
+        if st is not None:
+            params['shape'] = st.gen.params
+
+    if rgb_predictor_dir:
+        from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
+        tr = PredictorTrainer(editor.cfg.rgb_predictor)
+        st = restore(rgb_predictor_dir, lambda: tr.init_state(rng))
+        if st is not None:
+            params['rgb_pred'] = variables(st.model.params, st.stats)
+
+    if curliness_predictor_dir:
+        from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
+        tr = PredictorTrainer(editor.cfg.curliness_predictor)
+        st = restore(curliness_predictor_dir, lambda: tr.init_state(rng))
+        if st is not None:
+            params['curliness_pred'] = variables(st.model.params, st.stats)
+
+    if bisenet_dir:
+        from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
+        tr = BiSeNetTrainer(editor.cfg.bisenet)
+        st = restore(bisenet_dir, lambda: tr.init_state(rng))
+        if st is not None:
+            params['bisenet'] = variables(st.model.params, st.stats)
+
+    if sean_dir:
+        from ctrlhair_tpu.training.sean_trainer import SEANTrainer
+        tr = SEANTrainer(editor.cfg.sean, use_vgg=False)
+        st = restore(sean_dir, lambda: tr.init_state(rng))
+        if st is not None:
+            params['sean'] = variables(st.gen.params, st.gen_stats)
+
+    editor.params = params
+    return editor.params
+
+
 def load_reference_tree(editor, root: str) -> Dict[str, Any]:
     """Load from the reference's on-disk layout rooted at `root`
     (ref paths: hair_editor.py:63,101, my_parsing_util.py:42,

@@ -75,3 +75,60 @@ def test_direction_finder_roundtrip(tmp_path):
     loaded = load_directions(str(tmp_path / 'dirs'))
     np.testing.assert_allclose(loaded[0], d0)
     np.testing.assert_allclose(loaded[1], d1)
+
+
+def test_native_checkpoints_load_into_pipeline(tmp_path):
+    """Train -> deploy round trip with OUR OWN checkpoints: run-driver
+    output loads into the editing pipeline's parameter tree via
+    convert.load.load_native_params (the native analog of the reference's
+    model_trained/ sweep, ref: hair_editor.py:45-119)."""
+    import jax.numpy as jnp
+
+    from ctrlhair_tpu.config import PipelineConfig
+    from ctrlhair_tpu.convert.load import load_native_params
+    from ctrlhair_tpu.models.color_texture import (CTDiscriminator,
+                                                   Predictor, make_generator)
+    from ctrlhair_tpu.training import run_color_texture, run_predictor
+
+    run_color_texture.main([
+        '--synthetic', '--steps', '2', '--batch-size', '8',
+        '--out-dir', str(tmp_path / 'ct')])
+    run_predictor.main([
+        '--which', 'rgb', '--synthetic', '--steps', '2',
+        '--out-dir', str(tmp_path / 'pred')])
+
+    cfg = PipelineConfig()
+    gen = make_generator(cfg.color_texture)
+    dis = CTDiscriminator(cfg.color_texture)
+    pred = Predictor(cfg.rgb_predictor)
+    k = jax.random.PRNGKey(0)
+    data = {'noise': jnp.zeros((1, cfg.color_texture.noise_dim)),
+            'noise_curliness': jnp.zeros((1, 1)),
+            'rgb_mean': jnp.zeros((1, 3)), 'pca_std': jnp.zeros((1, 1))}
+    code = {'code': jnp.zeros((1, cfg.sean.style_dim))}
+    init_params = {'ct_gen': gen.init(k, data), 'ct_dis': dis.init(k, code),
+                   'rgb_pred': pred.init(k, code)}
+
+    class _Stub:
+        pass
+    stub = _Stub()
+    stub.cfg = cfg
+    stub.params = dict(init_params)
+
+    load_native_params(stub, color_texture_dir=str(
+        tmp_path / 'ct' / 'checkpoints'),
+        rgb_predictor_dir=str(tmp_path / 'pred' / 'checkpoints'))
+
+    for key in ('ct_gen', 'ct_dis', 'rgb_pred'):
+        # structure identical to the pipeline-side init...
+        assert (jax.tree_util.tree_structure(stub.params[key])
+                == jax.tree_util.tree_structure(init_params[key])), key
+        # ...and values actually trained (moved off the init)
+        a = jax.tree_util.tree_leaves(stub.params[key])
+        b = jax.tree_util.tree_leaves(init_params[key])
+        assert any(not np.allclose(np.asarray(x), np.asarray(y))
+                   for x, y in zip(a, b)), key
+
+    # the loaded generator runs through the pipeline-side model def
+    out = gen.apply(stub.params['ct_gen'], data)
+    assert out['code'].shape == (1, cfg.sean.style_dim)
