@@ -132,3 +132,21 @@ def test_native_checkpoints_load_into_pipeline(tmp_path):
     # the loaded generator runs through the pipeline-side model def
     out = gen.apply(stub.params['ct_gen'], data)
     assert out['code'].shape == (1, cfg.sean.style_dim)
+
+
+def test_run_sean_synthetic(tmp_path):
+    from ctrlhair_tpu.training import run_sean
+    state = run_sean.main([
+        '--synthetic', '--steps', '2', '--batch-size', '2', '--no-vgg',
+        '--crop-size', '32', '--out-dir', str(tmp_path / 'sean')])
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / 'sean' / 'checkpoints')
+
+
+def test_run_bisenet_synthetic(tmp_path):
+    from ctrlhair_tpu.training import run_bisenet
+    state = run_bisenet.main([
+        '--synthetic', '--steps', '2', '--batch-size', '2',
+        '--input-size', '32', '--out-dir', str(tmp_path / 'bn')])
+    assert int(state.step) == 2
+    assert os.path.exists(tmp_path / 'bn' / 'checkpoints')
