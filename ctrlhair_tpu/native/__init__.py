@@ -27,9 +27,12 @@ def build_native(force: bool = False) -> bool:
     newer than the built library). Returns True on success."""
     global _build_failed
     src = os.path.join(_DIR, 'arap.cpp')
-    if (os.path.exists(_LIB_PATH) and not force
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
-        return True
+    if os.path.exists(_LIB_PATH) and not force:
+        try:
+            if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+                return True
+        except OSError:     # source missing: keep the existing binary
+            return True
     try:
         subprocess.run(
             ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH,
@@ -48,7 +51,10 @@ def _load():
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH) and not build_native():
+        # build_native is a cheap mtime check when the lib is fresh, and
+        # rebuilds when arap.cpp is newer — so the runtime path never loads
+        # a stale binary after a source change
+        if not build_native():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)

@@ -4,9 +4,9 @@
 # oriented crop quad from eye/mouth landmarks, shrink, crop, reflect-pad with
 # blur feathering, quad resample, landmark reprojection.  The PIL
 # QUAD-transform + 4096px ANTIALIAS pipeline is replaced by direct bilinear
-# quad sampling (with optional supersampling) as a jittable gather; the
-# data-dependent shrink/crop/pad bookkeeping stays on host, exactly like the
-# reference's CPU stage.
+# quad sampling (with supersampled box filtering); the whole stage is host
+# math on purpose — its shapes are data-dependent, so device versions would
+# recompile per shape and round-trip full images over the link.
 
 from __future__ import annotations
 
@@ -40,52 +40,50 @@ def crop_quad_from_landmarks(lm_68: np.ndarray) -> Tuple[np.ndarray, float]:
     return quad, float(qsize)
 
 
-def _quad_sample(img, quad: np.ndarray, out_size: int,
-                 supersample: int = 2):
+def _quad_sample(img: np.ndarray, quad: np.ndarray, out_size: int,
+                 supersample: int = 2) -> np.ndarray:
     """Bilinear sample of `img` over the quad (NW,SW,SE,NE), box-filtered
     from a supersampled grid — the antialiasing the reference gets from its
     4096px intermediate + ANTIALIAS downscale.
 
-    Dispatches on input type: numpy in, numpy out (pure host math — the
+    Pure host math (cv2.remap when available, numpy gather otherwise): the
     crop stage's image shape is data-dependent, so a device version would
     both recompile per shape and ship the full padded image over the
-    host<->device link); jnp in, jnp out (jit-able, same formula).
+    host<->device link.
     """
-    xp = np if isinstance(img, np.ndarray) else jnp
     s = out_size * supersample
-    u = (xp.arange(s, dtype=xp.float32) + 0.5) / s
-    uu, vv = xp.meshgrid(u, u)             # uu: x across, vv: y down
-    nw, sw, se, ne = [xp.asarray(q, xp.float32) for q in quad]
+    u = (np.arange(s, dtype=np.float32) + 0.5) / s
+    uu, vv = np.meshgrid(u, u)             # uu: x across, vv: y down
+    nw, sw, se, ne = [np.asarray(q, np.float32) for q in quad]
     top = nw[None, None] * (1 - uu[..., None]) + ne[None, None] * uu[..., None]
     bot = sw[None, None] * (1 - uu[..., None]) + se[None, None] * uu[..., None]
     src = top * (1 - vv[..., None]) + bot * vv[..., None]   # [s,s,2] x,y
 
-    if xp is np:
-        try:
-            import cv2
-            # SIMD gather (~10x the numpy fancy-index path); cv2.remap
-            # quantises coordinates to 1/32 px — invisible at supersample 2
-            out = cv2.remap(img.astype(np.float32),
-                            src[..., 0] - 0.5, src[..., 1] - 0.5,
-                            interpolation=cv2.INTER_LINEAR,
-                            borderMode=cv2.BORDER_REPLICATE)
-            if supersample > 1:
-                out = out.reshape(out_size, supersample, out_size,
-                                  supersample, -1).mean(axis=(1, 3))
-            return out
-        except ImportError:
-            pass
+    try:
+        import cv2
+        # SIMD gather (~10x the numpy fancy-index path); cv2.remap
+        # quantises coordinates to 1/32 px — invisible at supersample 2
+        out = cv2.remap(img.astype(np.float32),
+                        src[..., 0] - 0.5, src[..., 1] - 0.5,
+                        interpolation=cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_REPLICATE)
+        if supersample > 1:
+            out = out.reshape(out_size, supersample, out_size,
+                              supersample, -1).mean(axis=(1, 3))
+        return out
+    except ImportError:
+        pass
 
     h, w = img.shape[:2]
     xf = src[..., 0] - 0.5
     yf = src[..., 1] - 0.5
-    x0 = xp.clip(xp.floor(xf), 0, w - 1).astype(xp.int32)
-    y0 = xp.clip(xp.floor(yf), 0, h - 1).astype(xp.int32)
-    x1 = xp.clip(x0 + 1, 0, w - 1)
-    y1 = xp.clip(y0 + 1, 0, h - 1)
-    fx = xp.clip(xf - x0, 0, 1)[..., None]
-    fy = xp.clip(yf - y0, 0, 1)[..., None]
-    imf = img.astype(xp.float32)
+    x0 = np.clip(np.floor(xf), 0, w - 1).astype(np.int32)
+    y0 = np.clip(np.floor(yf), 0, h - 1).astype(np.int32)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(xf - x0, 0, 1)[..., None]
+    fy = np.clip(yf - y0, 0, 1)[..., None]
+    imf = img.astype(np.float32)
     out = (imf[y0, x0] * (1 - fx) * (1 - fy) + imf[y0, x1] * fx * (1 - fy)
            + imf[y1, x0] * (1 - fx) * fy + imf[y1, x1] * fx * fy)
     if supersample > 1:

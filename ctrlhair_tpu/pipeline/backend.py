@@ -42,11 +42,18 @@ class Backend:
         # texture_dir_used/shape_dir_used contract, hair_editor.py:82-119),
         # else deterministic orthonormal defaults (see latent.py)
         from ctrlhair_tpu.pipeline.direction_finder import load_directions
-        self.shape_dirs = (load_directions('model_trained/shape_dir_used')
-                           or latent_ops.semantic_directions(SHAPE_DIM, 4))
-        self.texture_dirs = (
-            load_directions('model_trained/texture_dir_used')
-            or latent_ops.semantic_directions(TEXTURE_DIM, 2))
+
+        def dirs(path, dim, n):
+            """Curated directions, padded with deterministic orthonormal
+            defaults up to the UI's fixed slider count (a partially-curated
+            dir must not shrink the slider set)."""
+            loaded = load_directions(path) or []
+            defaults = latent_ops.semantic_directions(dim, n)
+            return (list(loaded) + list(defaults))[:max(n, len(loaded))]
+
+        self.shape_dirs = dirs('model_trained/shape_dir_used', SHAPE_DIM, 4)
+        self.texture_dirs = dirs('model_trained/texture_dir_used',
+                                 TEXTURE_DIM, 2)
         self._rng = np.random.default_rng(seed)
 
         self.input_img = None          # uint8 [256,256,3]
@@ -147,9 +154,9 @@ class Backend:
                 hsv=self.cur_latent.hsv.at[0, idx].set(raw))
 
     def change_shape(self, val: float, idx: int) -> None:
+        # continue_change_with_direction already refreshes for 'shape'
         self.continue_change_with_direction('shape', self.shape_dirs[idx],
                                             val)
-        self._refresh_mask_async()
 
     def change_texture(self, val: float, idx: int) -> None:
         self.continue_change_with_direction('texture',
@@ -310,7 +317,7 @@ class Backend:
         """
         n = latents.texture.shape[0]
         codes = jnp.tile(self.input_sean_code, (n, 1, 1))
-        mask = jnp.tile(jnp.asarray(self.cur_mask)[None], (n, 1, 1))
+        mask = jnp.tile(self._cur_mask_batched(), (n, 1, 1))
         img = self.editor.edit_render(self.editor.params, codes, mask,
                                       latents)
         if self.blending:

@@ -66,10 +66,12 @@ class HairEditorTPU:
                  params: Optional[Dict[str, Any]] = None, seed: int = 0,
                  compilation_cache: bool = True,
                  warm_batches: Optional[Tuple[int, ...]] = None):
-        """warm_batches: batch sizes to AOT-compile the interactive programs
-        for, CONCURRENTLY with parameter initialisation (compiling needs only
-        parameter shapes, which jax.eval_shape provides for free).  Call
-        join_warm() to block until those compiles land."""
+        """warm_batches: batch sizes to warm the interactive programs for
+        on a background thread started right after parameter init (the
+        dispatch path is what hits the persistent compilation cache, and
+        this environment's remote-compile service serializes concurrent
+        compiles anyway — see warm_start).  Call join_warm() to block until
+        the warm compiles land."""
         if compilation_cache:
             enable_compilation_cache()
         self.cfg = cfg

@@ -212,3 +212,31 @@ def test_blending_path():
     m_eager, _ = be.refresh_cur_mask()
     np.testing.assert_array_equal(m_async, m_eager)
     assert out2.shape == (64, 64, 3)
+
+
+def test_param_shapes_matches_init(backend):
+    """param_shapes (jax.eval_shape, no compile) must mirror the real
+    parameter tree exactly — it is the AOT-lowering entry point."""
+    import jax
+    ed = backend.editor
+    shapes = ed.param_shapes(0)
+    assert (jax.tree_util.tree_structure(shapes)
+            == jax.tree_util.tree_structure(ed.params))
+    for (pa, s), leaf in zip(
+            jax.tree_util.tree_flatten_with_path(shapes)[0],
+            jax.tree_util.tree_leaves(ed.params)):
+        assert s.shape == leaf.shape and s.dtype == leaf.dtype, pa
+
+
+def test_curated_direction_padding(tmp_path, monkeypatch):
+    """A partially-curated direction dir must not shrink the slider set
+    (the UI indexes 4 shape / 2 texture sliders unconditionally)."""
+    from ctrlhair_tpu.pipeline.direction_finder import save_direction
+    shape_dir = tmp_path / 'model_trained' / 'shape_dir_used'
+    save_direction(str(shape_dir), 0, np.arange(16, dtype=np.float32))
+    monkeypatch.chdir(tmp_path)
+    be = Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+    assert len(be.shape_dirs) == 4
+    np.testing.assert_array_equal(np.asarray(be.shape_dirs[0]),
+                                  np.arange(16, dtype=np.float32))
+    assert len(be.texture_dirs) == 2
