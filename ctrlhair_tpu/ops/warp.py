@@ -273,22 +273,27 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
             jnp.asarray(uv), big, big)
     else:
-        # rasterize + UV gather + threshold as ONE device dispatch
-        warped = np.asarray(_rasterize_sample(
+        # rasterize + UV gather + threshold + crop + composite overlay
+        # (naive_transfer semantics) as ONE device dispatch + ONE sync
+        return np.asarray(_rasterize_composite(
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
-            jnp.asarray(uv), jnp.asarray(total), big))
-        warped = warped[pad:-pad, pad:-pad]
-        return naive_transfer(warped * HAIR_IDX, face_parsing)
+            jnp.asarray(uv), jnp.asarray(total),
+            jnp.asarray(face_parsing, jnp.int32), big, pad))
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
     warped = (warped > 0.5)[pad:-pad, pad:-pad]
 
     return naive_transfer(warped * HAIR_IDX, face_parsing)
 
 
-@functools.partial(jax.jit, static_argnames=('size',))
-def _rasterize_sample(verts_dst, tris_pad, uv, total, size: int):
+@functools.partial(jax.jit, static_argnames=('size', 'pad'))
+def _rasterize_composite(verts_dst, tris_pad, uv, total, face_parsing,
+                         size: int, pad: int):
     uv_map = rasterize_uv(verts_dst, tris_pad, uv, size, size)
-    return sample_uv(total, uv_map) > 0.5
+    warped = sample_uv(total, uv_map) > 0.5
+    warped = warped[pad:size - pad, pad:size - pad]
+    # naive_transfer (ref: mask_adaptor.py:63-73): uncovered old hair -> 255
+    out = jnp.where(face_parsing == HAIR_IDX, UNKNOWN_LABEL, face_parsing)
+    return jnp.where(warped, HAIR_IDX, out)
 
 
 def warp_for_image_with_idx(catalog, landmark_dict, hair_key: str,
