@@ -266,6 +266,10 @@ def _linear_block(sd: Mapping[str, Any], src: str,
     if norm == 'bn':
         bnp, _ = bn_variables(sd, f'{src}.norm')
         p['norm'] = {'bn': bnp}
+    elif norm == 'ln':
+        # torch nn.LayerNorm weight/bias -> flax LayerNorm scale/bias
+        p['norm'] = {'scale': _np(sd[f'{src}.norm.weight']),
+                     'bias': _np(sd[f'{src}.norm.bias'])}
     return p
 
 

@@ -27,6 +27,7 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     pad: int = 1
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -37,7 +38,8 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding='VALID',
                     use_bias=False, dtype=self.dtype, name='conv')(x)
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not self.train,
+                     axis_name=self.axis_name, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn')(x)
         return nn.relu(x)
 
@@ -46,18 +48,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = ConvBNReLU(self.features, 3, self.stride, 1,
-                              train=self.train, dtype=self.dtype,
+                              train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                               name='cbr1')(x)
         residual = jnp.pad(residual, ((0, 0), (1, 1), (1, 1), (0, 0)))
         residual = nn.Conv(self.features, (3, 3), padding='VALID',
                            use_bias=False, dtype=self.dtype,
                            name='conv2')(residual)
         residual = nn.BatchNorm(use_running_average=not self.train,
+                     axis_name=self.axis_name,
                                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                                 name='bn2')(residual)
         shortcut = x
@@ -67,6 +71,7 @@ class BasicBlock(nn.Module):
                                use_bias=False, dtype=self.dtype,
                                name='down_conv')(x)
             shortcut = nn.BatchNorm(use_running_average=not self.train,
+                     axis_name=self.axis_name,
                                     momentum=0.9, epsilon=1e-5,
                                     dtype=self.dtype, name='down_bn')(shortcut)
         return nn.relu(shortcut + residual)
@@ -75,6 +80,7 @@ class BasicBlock(nn.Module):
 class ResNet18(nn.Module):
     """Backbone returning 1/8, 1/16, 1/32 features (ref: resnet.py:58-80)."""
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -82,7 +88,8 @@ class ResNet18(nn.Module):
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding='VALID',
                     use_bias=False, dtype=self.dtype, name='conv1')(x)
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not self.train,
+                     axis_name=self.axis_name, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name='bn1')(x)
         x = nn.relu(x)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
@@ -92,7 +99,7 @@ class ResNet18(nn.Module):
                 [(64, 1), (128, 2), (256, 2), (512, 2)]):
             for j in range(2):
                 x = BasicBlock(feats, stride if j == 0 else 1,
-                               train=self.train, dtype=self.dtype,
+                               train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                                name=f'layer{i + 1}_{j}')(x)
             if feats == 128:
                 feat8 = x
@@ -104,16 +111,19 @@ class ResNet18(nn.Module):
 class AttentionRefinement(nn.Module):
     features: int
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         feat = ConvBNReLU(self.features, 3, 1, 1, train=self.train,
+                          axis_name=self.axis_name,
                           dtype=self.dtype, name='conv')(x)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
         atten = nn.Conv(self.features, (1, 1), use_bias=False,
                         dtype=self.dtype, name='conv_atten')(atten)
-        atten = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        atten = nn.BatchNorm(use_running_average=not self.train,
+                     axis_name=self.axis_name, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name='bn_atten')(atten)
         return feat * nn.sigmoid(atten)
@@ -122,12 +132,14 @@ class AttentionRefinement(nn.Module):
 class FeatureFusion(nn.Module):
     features: int
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, fsp, fcp):
         fcat = jnp.concatenate([fsp, fcp], axis=-1)
         feat = ConvBNReLU(self.features, 1, 1, 0, train=self.train,
+                          axis_name=self.axis_name,
                           dtype=self.dtype, name='convblk')(fcat)
         atten = jnp.mean(feat, axis=(1, 2), keepdims=True)
         atten = nn.Conv(self.features // 4, (1, 1), use_bias=False,
@@ -143,11 +155,12 @@ class BiSeNetOutput(nn.Module):
     mid: int
     n_classes: int
     train: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ConvBNReLU(self.mid, 3, 1, 1, train=self.train, dtype=self.dtype,
+        x = ConvBNReLU(self.mid, 3, 1, 1, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                        name='conv')(x)
         return nn.Conv(self.n_classes, (1, 1), use_bias=False,
                        dtype=self.dtype, name='conv_out')(x)
@@ -159,6 +172,7 @@ class BiSeNet(nn.Module):
     # emit the two auxiliary supervision heads (ref: model.py:237-238,
     # 248-253); inference needs only the main head
     return_aux: bool = False
+    axis_name: Any = None    # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -166,33 +180,36 @@ class BiSeNet(nn.Module):
         """x: [N, H, W, 3], ImageNet-normalised. Returns [N, H, W, n_classes]
         main-head logits, or (main, aux16, aux32) when return_aux."""
         h, w = x.shape[1:3]
-        feat8, feat16, feat32 = ResNet18(train=self.train, dtype=self.dtype,
+        feat8, feat16, feat32 = ResNet18(train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                                          name='resnet')(x)
         avg = jnp.mean(feat32, axis=(1, 2), keepdims=True)
-        avg = ConvBNReLU(128, 1, 1, 0, train=self.train, dtype=self.dtype,
+        avg = ConvBNReLU(128, 1, 1, 0, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                          name='conv_avg')(avg)
         avg_up = jnp.broadcast_to(
             avg, (avg.shape[0],) + feat32.shape[1:3] + (128,))
-        f32 = AttentionRefinement(128, train=self.train, dtype=self.dtype,
+        f32 = AttentionRefinement(128, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                                   name='arm32')(feat32) + avg_up
         f32_up = _nearest_up(f32, feat16.shape[1:3])  # ref uses mode='nearest'
-        f32_up = ConvBNReLU(128, 3, 1, 1, train=self.train, dtype=self.dtype,
+        f32_up = ConvBNReLU(128, 3, 1, 1, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                             name='conv_head32')(f32_up)
-        f16 = AttentionRefinement(128, train=self.train, dtype=self.dtype,
+        f16 = AttentionRefinement(128, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                                   name='arm16')(feat16) + f32_up
         f16_up = _nearest_up(f16, feat8.shape[1:3])
-        f16_up = ConvBNReLU(128, 3, 1, 1, train=self.train, dtype=self.dtype,
+        f16_up = ConvBNReLU(128, 3, 1, 1, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                             name='conv_head16')(f16_up)
-        fuse = FeatureFusion(256, train=self.train, dtype=self.dtype,
+        fuse = FeatureFusion(256, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                              name='ffm')(feat8, f16_up)
         out = BiSeNetOutput(256, self.cfg.n_classes, train=self.train,
+                            axis_name=self.axis_name,
                             dtype=self.dtype, name='conv_out')(fuse)
         out = resize_bilinear_nhwc(out.astype(jnp.float32), (h, w),
                                    align_corners=True)
         if self.return_aux:
             aux16 = BiSeNetOutput(64, self.cfg.n_classes, train=self.train,
+                                  axis_name=self.axis_name,
                                   dtype=self.dtype, name='conv_out16')(f16_up)
             aux32 = BiSeNetOutput(64, self.cfg.n_classes, train=self.train,
+                                  axis_name=self.axis_name,
                                   dtype=self.dtype, name='conv_out32')(f32_up)
             aux16 = resize_bilinear_nhwc(aux16.astype(jnp.float32), (h, w),
                                          align_corners=True)

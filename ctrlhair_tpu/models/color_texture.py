@@ -174,7 +174,7 @@ class CTDiscriminatorNoise(nn.Module):
         if cfg.use_curliness:
             x = jnp.concatenate([x, data['noise_curliness']], axis=-1)
         out = MLP(cfg.d_hidden_dim, cfg.d_noise_hidden_layer_num, 1,
-                  norm=cfg.d_norm, activation='lrelu', train=self.train,
+                  norm=cfg.d_norm, activation=cfg.d_activ, train=self.train,
                   dtype=self.dtype, name='net')(x.astype(self.dtype))
         return {'adv': out[:, :1]}
 

@@ -160,13 +160,20 @@ class BatchNorm(nn.Module):
 
 def make_norm(norm: str, features: int, *, train: bool = False,
               axis_name: Optional[str] = None, dtype: Dtype = jnp.float32,
-              name: Optional[str] = None):
-    """Factory mapping the reference's norm strings to modules (or None)."""
+              name: Optional[str] = None, linear: bool = False):
+    """Factory mapping the reference's norm strings to modules (or None).
+
+    'ln' differs by block kind in the reference: LinearBlock uses standard
+    torch nn.LayerNorm (my_torchlib/module.py:29-30) while Conv2dBlock uses
+    the repo's custom sample-wise LayerNorm (std+eps, uniform-init gamma,
+    module.py:140-170) — mirror that split via `linear`."""
     if norm == 'none':
         return None
     if norm == 'in':
         return InstanceNorm(dtype=dtype, name=name)
     if norm == 'ln':
+        if linear:
+            return nn.LayerNorm(epsilon=1e-5, dtype=dtype, name=name)
         return SampleLayerNorm(features, dtype=dtype, name=name)
     if norm == 'bn':
         return BatchNorm(use_running_average=not train, affine=True,
@@ -194,7 +201,7 @@ class LinearBlock(nn.Module):
             name='fc')(x)
         norm = make_norm(self.norm, self.features, train=self.train,
                          axis_name=self.axis_name, dtype=self.dtype,
-                         name='norm')
+                         name='norm', linear=True)
         if norm is not None:
             x = norm(x)
         x = ACTIVATIONS[self.activation](x)

@@ -101,6 +101,7 @@ class ACE(nn.Module):
     cfg: SEANConfig
     norm_nc: int
     use_styles: bool = True
+    axis_name: Optional[str] = None   # cross-replica sync-BN under shard_map
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -121,7 +122,7 @@ class ACE(nn.Module):
             normalized = nn.BatchNorm(
                 use_running_average=not train, use_bias=False, use_scale=False,
                 momentum=0.9, epsilon=1e-5, dtype=self.dtype,
-                name='pfn')(x)
+                axis_name=self.axis_name, name='pfn')(x)
 
         gamma_spade, beta_spade = SPADE(c, cfg.spade_hidden, dtype=self.dtype,
                                         name='spade')(seg)
@@ -196,6 +197,7 @@ class SPADEResnetBlock(nn.Module):
     fin: int
     fout: int
     use_styles: bool = True
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -211,18 +213,21 @@ class SPADEResnetBlock(nn.Module):
             noise_rng, sub = jax.random.split(noise_rng)
             return sub
 
-        dx = ACE(self.cfg, self.fin, self.use_styles, dtype=self.dtype,
+        dx = ACE(self.cfg, self.fin, self.use_styles,
+                 axis_name=self.axis_name, dtype=self.dtype,
                  name='ace_0')(x, seg, style_codes, train=train,
                                noise_rng=rng())
         dx = TorchConv(fmiddle, 3, 1, 1, dtype=self.dtype,
                        name='conv_0')(leaky_relu(dx))
-        dx = ACE(self.cfg, fmiddle, self.use_styles, dtype=self.dtype,
+        dx = ACE(self.cfg, fmiddle, self.use_styles,
+                 axis_name=self.axis_name, dtype=self.dtype,
                  name='ace_1')(dx, seg, style_codes, train=train,
                                noise_rng=rng())
         dx = TorchConv(self.fout, 3, 1, 1, dtype=self.dtype,
                        name='conv_1')(leaky_relu(dx))
         if learned_shortcut:
-            xs = ACE(self.cfg, self.fin, self.use_styles, dtype=self.dtype,
+            xs = ACE(self.cfg, self.fin, self.use_styles,
+                     axis_name=self.axis_name, dtype=self.dtype,
                      name='ace_s')(x, seg, style_codes, train=train,
                                    noise_rng=rng())
             xs = TorchConv(self.fout, 1, 1, 0, use_bias=False,
@@ -240,6 +245,7 @@ class SEANGenerator(nn.Module):
     codes, and renders an NHWC image in [-1, 1].
     """
     cfg: SEANConfig
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -249,11 +255,7 @@ class SEANGenerator(nn.Module):
         cfg = self.cfg
         nf = cfg.ngf
 
-        def up(x):
-            n, h, w, c = x.shape
-            x = jnp.broadcast_to(x[:, :, None, :, None, :],
-                                 (n, h, 2, w, 2, c))
-            return x.reshape(n, h * 2, w * 2, c)
+        from ctrlhair_tpu.ops.resize import upsample2x_nearest_nhwc as up
 
         def rng():
             nonlocal noise_rng
@@ -269,6 +271,7 @@ class SEANGenerator(nn.Module):
 
         def block(name, fin, fout, x, seg, use_styles=True):
             return block_cls(cfg, fin, fout, use_styles=use_styles,
+                             axis_name=self.axis_name,
                              dtype=self.dtype, name=name)(
                 x, seg, style_codes, train, rng())
 
@@ -316,11 +319,13 @@ class ConvEncoder(nn.Module):
 class SEAN(nn.Module):
     """Bundled Zencoder + generator with the two public entry points."""
     cfg: SEANConfig
+    axis_name: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.zencoder = Zencoder(self.cfg, dtype=self.dtype)
-        self.generator = SEANGenerator(self.cfg, dtype=self.dtype)
+        self.generator = SEANGenerator(self.cfg, axis_name=self.axis_name,
+                                       dtype=self.dtype)
 
     def pyramid_sizes(self) -> Tuple[int, ...]:
         s = self.cfg.start_size

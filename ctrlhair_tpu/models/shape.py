@@ -89,10 +89,9 @@ class MaskDecoder(nn.Module):
         x = LinearBlock(in_ch * s * s, 'none', 'none', dtype=self.dtype,
                         name='in_layer')(code)
         x = x.reshape(-1, s, s, in_ch)
+        from ctrlhair_tpu.ops.resize import upsample2x_nearest_nhwc
         for i in range(cfg.layer_num):
-            n, h, w, c = x.shape
-            x = jnp.broadcast_to(x[:, :, None, :, None, :],
-                                 (n, h, 2, w, 2, c)).reshape(n, h * 2, w * 2, c)
+            x = upsample2x_nearest_nhwc(x)
             ch = min(32 * 2 ** (cfg.layer_num - 1 - i), cfg.max_channel)
             x = ConvBlock(ch, 3, 1, 1, norm=self.norm, activation='lrelu',
                           train=self.train, dtype=self.dtype,

@@ -93,7 +93,8 @@ def _fit_similarity(src: np.ndarray, dst: np.ndarray):
     num_r = (dst_c[:, 1] * src_c[:, 0] - dst_c[:, 0] * src_c[:, 1]).sum()
     den = (src_c ** 2).sum()
     if den < 1e-12:
-        return 1.0, 0.0, dst.mean(0) - src.mean(0)
+        # degenerate (coincident source anchors): identity rotation
+        return np.eye(2), dst.mean(0) - src.mean(0)
     a = num / den
     b = num_r / den
     rot = np.array([[a, -b], [b, a]])

@@ -111,10 +111,14 @@ def dilate(mask: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:
 
 
 def erode(mask: jnp.ndarray, ksize: int, iterations: int = 1) -> jnp.ndarray:
-    """Binary erosion of [..., H, W] {0,1} mask with an ellipse kernel
-    (zero border: pixels whose footprint leaves the image erode away,
-    matching the previous conv formulation and cv2 on interior pixels)."""
+    """Binary erosion of [..., H, W] {0,1} mask with an ellipse kernel.
+
+    Border fill is 1 (outside treated as foreground), matching cv2.erode's
+    default +inf border: a foreground region touching the image edge keeps
+    its border band instead of eroding an extra ksize//2 strip — the
+    reference's hair-colour extraction depends on this for hair that
+    reaches the frame edge (ref: hair_editor.py:240-241)."""
     out = mask.astype(jnp.float32)
     for _ in range(iterations):
-        out = _ellipse_filter(out, ksize, jnp.minimum, 0.0)
+        out = _ellipse_filter(out, ksize, jnp.minimum, 1.0)
     return out

@@ -125,7 +125,11 @@ def _v_cycle(u, b, unks, level: int = 0):
 def _build_unknown_pyramid(unk: jnp.ndarray, min_size: int = 16):
     """[H,W,1] {0,1} unknown mask -> coarse pyramid (majority rule)."""
     unks = [unk]
-    while unks[-1].shape[0] > min_size:
+    # stop when a level can no longer halve evenly (e.g. 272 -> ... -> 17):
+    # _restrict requires even dims, and the top-level even check alone does
+    # not guarantee the whole chain is
+    while (unks[-1].shape[0] > min_size
+           and unks[-1].shape[0] % 2 == 0 and unks[-1].shape[1] % 2 == 0):
         unks.append((_restrict(unks[-1]) >= 0.5).astype(jnp.float32))
     return unks
 

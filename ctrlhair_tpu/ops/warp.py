@@ -280,7 +280,11 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
             jnp.asarray(uv), jnp.asarray(total),
             jnp.asarray(face_parsing, jnp.int32), big, pad))
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
-    warped = (warped > 0.5)[pad:-pad, pad:-pad]
+    # the reference truncates the bilinear-sampled float mask to uint8
+    # (wrap_by_uv -> astype in hair_mask_transfer_wrap), keeping only
+    # pixels whose interpolated value reaches 1.0 — i.e. fully inside the
+    # warped hair; >0.5 would grow the contour by ~1px vs the reference
+    warped = (warped >= 1.0 - 1e-6)[pad:-pad, pad:-pad]
 
     return naive_transfer(warped * HAIR_IDX, face_parsing)
 
@@ -289,7 +293,9 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
 def _rasterize_composite(verts_dst, tris_pad, uv, total, face_parsing,
                          size: int, pad: int):
     uv_map = rasterize_uv(verts_dst, tris_pad, uv, size, size)
-    warped = sample_uv(total, uv_map) > 0.5
+    # truncation semantics: only fully-interior pixels (value 1.0) count,
+    # matching the reference's astype-uint8 of the sampled float mask
+    warped = sample_uv(total, uv_map) >= 1.0 - 1e-6
     warped = warped[pad:size - pad, pad:size - pad]
     # naive_transfer (ref: mask_adaptor.py:63-73): uncovered old hair -> 255
     out = jnp.where(face_parsing == HAIR_IDX, UNKNOWN_LABEL, face_parsing)

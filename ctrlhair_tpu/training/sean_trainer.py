@@ -36,6 +36,27 @@ class SEANTrainState:
     gen_stats: Any         # 'batch_stats' collection (sync-BN running stats)
     dis: ModelOpt
     sn_u: Any = None       # spectral-norm power-iteration vectors (or None)
+    dis_sn_u: Any = None   # same, for the discriminator convs (all of them:
+                           # reference norm_D='spectralinstance')
+
+
+def _sn_u_template_d(dis_params, rng: jax.Array):
+    """Power-iteration vector per discriminator conv kernel — the reference
+    spectral-norms EVERY D conv (norm_D='spectralinstance',
+    ref: sean_codes/models/networks/discriminator.py:84-87)."""
+    flat = jax.tree_util.tree_flatten_with_path(dis_params)[0]
+    treedef = jax.tree_util.tree_structure(dis_params)
+    leaves = []
+    for path, leaf in flat:
+        names = [str(getattr(p, 'key', p)) for p in path]
+        if names[-1] == 'kernel' and leaf.ndim == 4:
+            rng, sub = jax.random.split(rng)
+            k = int(np.prod(leaf.shape[:-1]))
+            u = jax.random.normal(sub, (k,), jnp.float32)
+            leaves.append(u / (jnp.linalg.norm(u) + 1e-12))
+        else:
+            leaves.append(None)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _sn_u_template(gen_params, rng: jax.Array):
@@ -90,12 +111,14 @@ class SEANTrainer:
             self.vgg_params = self.vgg.init(k[2], img)
         sn_u = (_sn_u_template(gen_v['params'], k[2])
                 if self.cfg.spectral_norm else None)
+        dis_sn_u = (_sn_u_template_d(dis_p['params'], k[1])
+                    if self.cfg.spectral_norm else None)
         return SEANTrainState(
             step=jnp.zeros((), jnp.int32),
             gen=ModelOpt.create({'params': gen_v['params']}, self.tx_g),
             gen_stats=gen_v.get('batch_stats', {}),
             dis=ModelOpt.create(dis_p, self.tx_d),
-            sn_u=sn_u)
+            sn_u=sn_u, dis_sn_u=dis_sn_u)
 
     def _dis_in(self, label_oh, img):
         return jnp.concatenate([label_oh, img], axis=-1)
@@ -123,13 +146,19 @@ class SEANTrainer:
                 train=True, noise_rng=rng, mutable=['batch_stats'])
             return out, updated['batch_stats']
 
+        def dis_apply(params_d, x):
+            inner = params_d['params']
+            if state.dis_sn_u is not None:
+                inner, _ = spectral_normalize_tree(inner, state.dis_sn_u)
+            return self.dis.apply({'params': inner}, x)
+
         # ---------------- G step
         def g_loss_fn(params_g):
             fake, new_stats = generate(params_g)
-            feats_fake = self.dis.apply(state.dis.params,
-                                        self._dis_in(label_oh, fake))
-            feats_real = self.dis.apply(state.dis.params,
-                                        self._dis_in(label_oh, img))
+            feats_fake = dis_apply(state.dis.params,
+                                   self._dis_in(label_oh, fake))
+            feats_real = dis_apply(state.dis.params,
+                                   self._dis_in(label_oh, img))
             adv = sum(L.gan_loss_g('hinge', f[-1]) for f in feats_fake) \
                 / len(feats_fake)
             fm = 0.0
@@ -157,10 +186,10 @@ class SEANTrainer:
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(params_d):
-            feats_fake = self.dis.apply(params_d,
-                                        self._dis_in(label_oh, fake_sg))
-            feats_real = self.dis.apply(params_d,
-                                        self._dis_in(label_oh, img))
+            feats_fake = dis_apply(params_d,
+                                   self._dis_in(label_oh, fake_sg))
+            feats_real = dis_apply(params_d,
+                                   self._dis_in(label_oh, img))
             loss = sum(L.gan_loss_d('hinge', r[-1], f[-1])
                        for r, f in zip(feats_real, feats_fake)) \
                 / len(feats_fake)
@@ -174,6 +203,11 @@ class SEANTrainer:
             _, new_sn_u = spectral_normalize_tree(
                 jax.lax.stop_gradient(state.gen.params['params']),
                 state.sn_u)
+        new_dis_sn_u = state.dis_sn_u
+        if state.dis_sn_u is not None:
+            _, new_dis_sn_u = spectral_normalize_tree(
+                jax.lax.stop_gradient(state.dis.params['params']),
+                state.dis_sn_u)
         new_state = SEANTrainState(
             step=state.step + 1,
             gen=safe_apply_updates(state.gen, g_grads, self.tx_g, finite),
@@ -181,7 +215,7 @@ class SEANTrainer:
                 lambda a, b: jnp.where(finite, a, b), new_stats,
                 state.gen_stats),
             dis=safe_apply_updates(state.dis, d_grads, self.tx_d, finite),
-            sn_u=new_sn_u)
+            sn_u=new_sn_u, dis_sn_u=new_dis_sn_u)
         metrics = {'g_total': g_total, 'd_total': d_total, 'finite': finite}
         metrics.update({f'g/{k}': v for k, v in g_losses.items()})
         return new_state, metrics

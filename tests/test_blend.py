@@ -19,14 +19,19 @@ def test_ellipse_kernel_matches_cv2(k):
 def test_dilate_erode_match_cv2(rng):
     cv2 = pytest.importorskip('cv2')
     mask = (rng.random((64, 64)) > 0.85).astype(np.uint8)
-    for k in (5, 13):
-        kern = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
-        ref_d = cv2.dilate(mask, kern, iterations=1)
-        got_d = np.asarray(dilate(jnp.asarray(mask), k)).astype(np.uint8)
-        np.testing.assert_array_equal(ref_d, got_d)
-        ref_e = cv2.erode(mask, kern, iterations=1)
-        got_e = np.asarray(erode(jnp.asarray(mask), k)).astype(np.uint8)
-        np.testing.assert_array_equal(ref_e, got_e)
+    # dense border-touching blob: exposes the erosion border semantics
+    # (cv2 treats outside as foreground for erode, background for dilate)
+    border_mask = np.zeros((64, 64), np.uint8)
+    border_mask[:30, :40] = 1
+    for m in (mask, border_mask):
+        for k in (5, 13):
+            kern = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+            ref_d = cv2.dilate(m, kern, iterations=1)
+            got_d = np.asarray(dilate(jnp.asarray(m), k)).astype(np.uint8)
+            np.testing.assert_array_equal(ref_d, got_d)
+            ref_e = cv2.erode(m, kern, iterations=1)
+            got_e = np.asarray(erode(jnp.asarray(m), k)).astype(np.uint8)
+            np.testing.assert_array_equal(ref_e, got_e)
 
 
 def _direct_solve(source, target, mask, with_gamma=True):
@@ -118,3 +123,17 @@ def test_poisson_identity_outside_mask(rng):
     keep &= mask == 0
     # f32 gamma encode/decode roundtrip costs ~2e-3 in [0,255] units
     np.testing.assert_allclose(out[keep], target[keep], atol=6e-3)
+
+
+def test_multigrid_odd_halving_chain(rng):
+    """Sizes whose halving chain hits an odd dim > min_size (68->34->17)
+    must not crash the pyramid builder (regression: reshape error)."""
+    from ctrlhair_tpu.ops.poisson import poisson_blend
+    s = 68
+    src = rng.uniform(0, 255, (s, s, 3)).astype(np.float32)
+    tgt = rng.uniform(0, 255, (s, s, 3)).astype(np.float32)
+    mask = np.zeros((s, s), np.float32)
+    mask[10:50, 10:50] = 1.0
+    out = np.asarray(poisson_blend(jnp.asarray(src), jnp.asarray(tgt),
+                                   jnp.asarray(mask), method='mg'))
+    assert out.shape == (s, s, 3) and np.isfinite(out).all()

@@ -293,3 +293,23 @@ def test_strip_ddp_prefix():
     assert set(out) == {'a.weight', 'b.bias'}
     sd2 = {'a.weight': 1}
     assert ti.strip_ddp_prefix(sd2) == sd2
+
+
+def test_linear_ln_matches_torch(rng):
+    """LinearBlock 'ln' == torch nn.LayerNorm (the reference LinearBlock's
+    'ln', my_torchlib/module.py:29-30 — NOT the conv blocks' custom one)."""
+    torch = pytest.importorskip('torch')
+    lin = torch.nn.Linear(6, 4)
+    ln = torch.nn.LayerNorm(4)
+    ln.weight.data = torch.tensor(rng.standard_normal(4).astype(np.float32))
+    ln.bias.data = torch.tensor(rng.standard_normal(4).astype(np.float32))
+    x = rng.standard_normal((5, 6)).astype(np.float32)
+    ref = ln(lin(torch.tensor(x))).detach().numpy()
+
+    from ctrlhair_tpu.models.layers import LinearBlock
+    m = LinearBlock(4, norm='ln', activation='none', train=False)
+    sd = {'l.fc.weight': lin.weight, 'l.fc.bias': lin.bias,
+          'l.norm.weight': ln.weight, 'l.norm.bias': ln.bias}
+    p = ti._linear_block(sd, 'l', 'ln')
+    got = m.apply({'params': p}, jnp.asarray(x))
+    np.testing.assert_allclose(ref, np.asarray(got), atol=2e-5)

@@ -104,3 +104,33 @@ def test_sean_train_step(rng):
     b = jax.tree_util.tree_leaves(new_state.gen_stats)
     assert any(not np.allclose(np.asarray(x), np.asarray(y))
                for x, y in zip(a, b))
+
+
+def test_sean_spectral_norm_state(rng):
+    """With cfg.spectral_norm: power-iteration vectors exist for the SEAN
+    generator convs AND every discriminator conv (reference default
+    norm_D='spectralinstance'), and both update after a step."""
+    cfg = SEANConfig(crop_size=32, ngf=4, zencoder_ngf=4, style_dim=32,
+                     use_ace_noise=False, spectral_norm=True)
+    tr = SEANTrainer(cfg, use_vgg=False)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    assert state.sn_u is not None and state.dis_sn_u is not None
+    d_us = [u for u in jax.tree_util.tree_leaves(state.dis_sn_u)
+            if u is not None]
+    # every D conv kernel is normalised (2 scales x (n_layers + out))
+    n_kernels = sum(1 for p, l in jax.tree_util.tree_flatten_with_path(
+        state.dis.params)[0]
+        if str(getattr(p[-1], 'key', p[-1])) == 'kernel' and l.ndim == 4)
+    assert len(d_us) == n_kernels and n_kernels > 0
+    before = np.asarray(d_us[0]).copy()   # train_step donates the state
+    batch = {
+        'image': jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (2, 32, 32, 3)), jnp.float32),
+        'label': jnp.asarray(np.random.default_rng(0).integers(
+            0, 19, (2, 32, 32)), jnp.int32),
+    }
+    new_state, m = tr.train_step(state, batch, jax.random.PRNGKey(1))
+    assert bool(m['finite'])
+    after = [u for u in jax.tree_util.tree_leaves(new_state.dis_sn_u)
+             if u is not None][0]
+    assert not np.allclose(before, np.asarray(after))

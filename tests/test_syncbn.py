@@ -56,3 +56,40 @@ def test_local_bn_differs_from_global(rng):
                             in_specs=P('dp'), out_specs=P('dp'))
     got = distributed(jnp.asarray(x))
     assert np.abs(np.asarray(ref) - np.asarray(got)).max() > 0.1
+
+
+def test_bisenet_syncbn_under_shard_map(rng):
+    """BiSeNet(axis_name='dp') inside shard_map computes GLOBAL batch-norm
+    statistics — the conv-model path of the sync-BN story (the trainers'
+    jit+GSPMD path is covered by test_multichip_training)."""
+    from ctrlhair_tpu.config import BiSeNetConfig
+    from ctrlhair_tpu.models.bisenet import BiSeNet
+
+    mesh = make_mesh(8, tp=1)
+    x = rng.standard_normal((16, 32, 32, 3)).astype(np.float32)
+    cfg = BiSeNetConfig(input_size=32)
+
+    plain = BiSeNet(cfg, train=True)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref_out, ref_mut = plain.apply(variables, jnp.asarray(x),
+                                   mutable=['batch_stats'])
+
+    synced = BiSeNet(cfg, train=True, axis_name='dp')
+
+    def shard_fn(xs):
+        out, mut = synced.apply(variables, xs, mutable=['batch_stats'])
+        return out, mut
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=P('dp'), out_specs=(P('dp'), P()),
+                   check_rep=False)
+    with mesh:
+        out, mut = fn(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=2e-4)
+    for (pa, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(mut)[0],
+            jax.tree_util.tree_leaves(ref_mut)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg='/'.join(map(str, pa)))
