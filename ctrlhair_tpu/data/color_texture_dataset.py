@@ -105,7 +105,9 @@ class ColorTextureDataset:
 
     def curliness_batch(self, batch_size: int) -> Optional[Dict[str, np.ndarray]]:
         """Labelled curliness batch for the classifier head / predictor."""
-        if not self.curliness:
+        if set(self.curliness) != {-1, 1}:
+            # require BOTH class lists: a single-class batch would silently
+            # train a degenerate always-one-label classifier
             return None
         half = batch_size // 2
         codes = self.train[0]

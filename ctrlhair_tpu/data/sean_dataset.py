@@ -41,10 +41,10 @@ class SEANDataset:
         lab = np.asarray(Image.open(
             os.path.join(self.label_dir, name + '.png'))).astype(np.int32)
         s = self.crop_size
-        if img.shape[0] != s:
+        if img.shape[:2] != (s, s):
             img = np.asarray(jnp.clip(jnp.round(resize_bilinear_nhwc(
                 jnp.asarray(img, jnp.float32)[None], (s, s))[0]), 0, 255))
-        if lab.shape[0] != s:
+        if lab.shape[:2] != (s, s):
             lab = np.asarray(resize_nearest(jnp.asarray(lab), (s, s)))
         return img.astype(np.float32) / 127.5 - 1.0, lab
 

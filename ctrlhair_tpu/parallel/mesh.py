@@ -81,16 +81,11 @@ def _tp_spec_for(path: str, value, tp_size: int) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a param pytree: TP rule over kernels, replicate the rest."""
-    tp_size = mesh.shape['tp']
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    treedef = jax.tree_util.tree_structure(params)
-    out = []
-    for path, value in flat:
-        path_str = '/'.join(str(p) for p in path)
-        spec = _tp_spec_for(path_str, value, tp_size) if tp_size > 1 else P()
-        out.append(jax.device_put(value, NamedSharding(mesh, spec)))
-    return jax.tree_util.tree_unflatten(treedef, out)
+    """Place a param pytree: TP rule over kernels, replicate the rest
+    (placement == the shardings param_shardings advertises, by
+    construction)."""
+    return jax.tree_util.tree_map(jax.device_put, params,
+                                  param_shardings(params, mesh))
 
 
 def param_shardings(params, mesh: Mesh):

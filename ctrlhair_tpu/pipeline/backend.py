@@ -209,6 +209,9 @@ class Backend:
                 self.editor.params, jnp.asarray(wt, jnp.int32)[None])
             self.target_latent = self.target_latent.replace(
                 shape=shape_code, face=face_code)
+            # pre-transfer refresh replicated from the reference
+            # (ui/backend.py:287): decodes the still-untransferred latent;
+            # with refresh=True the post-transfer refresh supersedes it
             self._refresh_mask_async()
 
         self.cur_latent = latent_ops.transfer(self.cur_latent,

@@ -406,8 +406,10 @@ class HairEditorTPU:
             self.parse(self.params,
                        jnp.asarray(self._shrink_for_parse(img_rgb))[None]
                        )[0].astype(jnp.uint8))   # u8: 4x less downlink
+        # landmarks are normalised to the (squashed) parse square: x scales
+        # by width, y by height
         lm68 = estimate_landmarks_68(label512.astype(np.int32)) \
-            * img_rgb.shape[1]
+            * np.array([img_rgb.shape[1], img_rgb.shape[0]], np.float64)
         out, _ = recreate_aligned_image(
             img_rgb, lm68, output_size or self.cfg.edit_size)
         return out
@@ -462,6 +464,6 @@ class HairEditorTPU:
         """Host entry: arbitrary-size uint8 RGB -> analysis dict (batch 1)."""
         s = self.cfg.edit_size
         img = jnp.asarray(img_u8)[None]
-        img256 = img if img.shape[1] == s else jnp.clip(jnp.round(
+        img256 = img if img.shape[1:3] == (s, s) else jnp.clip(jnp.round(
             resize_bilinear_nhwc(img.astype(jnp.float32), (s, s))), 0, 255)
         return self.analyze(self.params, img256.astype(jnp.uint8), img)

@@ -106,8 +106,10 @@ def interpolate_attribute(cur: Latent, l1: Latent, l2: Latent, alpha,
 
 def interpolate_triple(l1: Latent, l2: Latent, l3: Latent,
                        a1, a2, a3) -> Latent:
-    """(l1*a1 + l2*a2 + l3*a3)/(a1+a2+a3) via two lerps
-    (ref: ui/backend.py:334-341)."""
+    """Two-lerp triple blend, replicated bug-for-bug from the reference
+    (ui/backend.py:334-341): the second lerp uses RAW a3, so the advertised
+    (l1*a1 + l2*a2 + l3*a3)/sum formula only holds when the alphas sum
+    to 1 — which is how the frontend calls it."""
     l12 = interpolate(l1, l2, a2 / (a1 + a2))
     return interpolate(l12, l3, a3)
 

@@ -31,15 +31,21 @@ class BiSeNetTrainState:
 
 def ohem_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                        keep_fraction: float = 1.0 / 16.0,
-                       thresh: float = 0.7) -> jnp.ndarray:
+                       thresh: float = 0.7,
+                       ignore_label: int = 255) -> jnp.ndarray:
     """Online hard example mining CE: average the per-pixel losses over the
     hardest keep_fraction of pixels (at least), plus any pixel whose
     predicted true-class probability is below `thresh` — the upstream
-    BiSeNet OhemCELoss recipe, expressed with a static top-k."""
+    BiSeNet OhemCELoss recipe (incl. its ignore_lb=255), expressed with a
+    static top-k."""
     n, h, w, c = logits.shape
     logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = (labels != ignore_label).reshape(n, -1)
+    safe_labels = jnp.where(labels == ignore_label, 0, labels)
     per_pix = -jnp.take_along_axis(
-        logp, labels[..., None], axis=-1)[..., 0].reshape(n, -1)
+        logp, safe_labels[..., None], axis=-1)[..., 0].reshape(n, -1)
+    # ignored pixels contribute zero loss and never rank as 'hard'
+    per_pix = jnp.where(valid, per_pix, 0.0)
     k = max(int(h * w * keep_fraction), 1)
     topk = jax.lax.top_k(per_pix, k)[0]
     min_loss = -jnp.log(jnp.asarray(thresh))

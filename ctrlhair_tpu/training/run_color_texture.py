@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--synthetic', action='store_true',
                         help='train on synthetic batches (smoke runs)')
+    parser.add_argument('--sean-checkpoint', default=None,
+                        help='reference SEAN netG .pth for the frozen-SEAN '
+                             'lambda_rec_img loss (scheduled on at 600k, '
+                             'ref solver.py:270-299); without it the term '
+                             'stays off')
     args = parser.parse_args(argv)
 
     from ctrlhair_tpu.config import ColorTextureConfig
@@ -42,7 +47,29 @@ def main(argv=None):
     cfg = ColorTextureConfig()
     total_steps = args.steps or cfg.total_step
     batch_size = args.batch_size or cfg.total_batch_size
-    trainer = ColorTextureTrainer(cfg)
+    sean = sean_params = None
+    if args.sean_checkpoint and os.path.exists(args.sean_checkpoint):
+        import torch
+        import jax.numpy as jnp
+        from ctrlhair_tpu.config import SEANConfig
+        from ctrlhair_tpu.convert import torch_import as ti
+        from ctrlhair_tpu.models.sean import SEAN
+        scfg = SEANConfig()
+        sd = torch.load(args.sean_checkpoint, map_location='cpu',
+                        weights_only=False)
+        if hasattr(sd, 'state_dict'):
+            sd = sd.state_dict()
+        sean_params = jax.tree_util.tree_map(jnp.asarray, ti.convert_sean(
+            ti.strip_ddp_prefix(sd), ngf=scfg.ngf,
+            semantic_nc=scfg.semantic_nc, style_dim=scfg.style_dim))
+        sean = SEAN(scfg)
+        print('[run_color_texture] frozen SEAN loaded: lambda_rec_img '
+              'active per schedule')
+    elif cfg.lambda_rec_img:
+        print('[run_color_texture] NOTE: no --sean-checkpoint — the '
+              'scheduled lambda_rec_img term (on at 600k in the reference) '
+              'stays OFF', flush=True)
+    trainer = ColorTextureTrainer(cfg, sean=sean, sean_params=sean_params)
     rng = jax.random.PRNGKey(args.seed)
     state, predictor_params = trainer.init_state(rng)
 

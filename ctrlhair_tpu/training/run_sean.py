@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--no-vgg', action='store_true',
                         help='drop the VGG perceptual term')
+    parser.add_argument('--vgg-weights', default=None,
+                        help='torch .pth of torchvision vgg19().features '
+                             'state dict (pretrained) for the perceptual '
+                             'loss')
     parser.add_argument('--crop-size', type=int, default=None)
     parser.add_argument('--synthetic', action='store_true')
     args = parser.parse_args(argv)
@@ -39,7 +43,24 @@ def main(argv=None):
 
     cfg = SEANConfig() if args.crop_size is None else SEANConfig(
         crop_size=args.crop_size)
-    trainer = SEANTrainer(cfg, use_vgg=not args.no_vgg)
+    vgg_params = None
+    if args.vgg_weights and not args.no_vgg:
+        import torch
+        from ctrlhair_tpu.models.sean_discriminator import convert_vgg19
+        sd = torch.load(args.vgg_weights, map_location='cpu',
+                        weights_only=False)
+        if hasattr(sd, 'state_dict'):
+            sd = sd.state_dict()
+        vgg_params = jax.tree_util.tree_map(jnp.asarray, convert_vgg19(sd))
+        print('[run_sean] loaded pretrained VGG19 features for the '
+              'perceptual loss')
+    elif not args.no_vgg:
+        print('[run_sean] WARNING: no --vgg-weights given — the perceptual '
+              'loss will use RANDOM VGG19 features, which is NOT the '
+              'reference objective (pass --vgg-weights vgg19_features.pth, '
+              'or --no-vgg to drop the term)', flush=True)
+    trainer = SEANTrainer(cfg, use_vgg=not args.no_vgg,
+                          vgg_params=vgg_params)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
 
     dataset = None

@@ -12,6 +12,7 @@ import time
 from typing import Callable, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -32,7 +33,12 @@ class Timer:
     def __exit__(self, *exc):
         if self.sync:
             try:
-                jax.effects_barrier()
+                # drain the device queue: a trivial program enqueued now
+                # completes only after all previously dispatched work on the
+                # (FIFO) device stream — effects_barrier alone would skip
+                # pending PURE computations and report dispatch time
+                jax.block_until_ready(
+                    jax.jit(lambda: jnp.zeros(()))())
             except Exception:
                 pass
         self.elapsed = time.perf_counter() - self.start

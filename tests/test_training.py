@@ -116,6 +116,14 @@ def test_bisenet_trainer_step():
     hard = -easy
     assert float(ohem_cross_entropy(easy, labels)) < 0.01
     assert float(ohem_cross_entropy(hard, labels)) > 1.0
+    # ignore_label=255 pixels contribute nothing (upstream ignore_lb=255):
+    # corrupting ignored pixels' logits must not change the loss
+    lab255 = labels.at[0, :4, :4].set(255)
+    base = float(ohem_cross_entropy(easy, lab255))
+    corrupted = easy.at[0, :4, :4].set(-50.0)
+    assert abs(float(ohem_cross_entropy(corrupted, lab255)) - base) < 1e-6
+    all_ignored = jnp.full_like(labels, 255)
+    assert float(ohem_cross_entropy(easy, all_ignored)) == 0.0
 
 
 def test_predictor_trainer_learns():
