@@ -38,6 +38,7 @@ def build_native(force: bool = False) -> bool:
             ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH,
              os.path.join(_DIR, 'arap.cpp')],
             check=True, capture_output=True, timeout=120)
+        _build_failed = False   # clear the latch on a successful (re)build
         return True
     except Exception:
         _build_failed = True
@@ -86,6 +87,10 @@ def arap_solve(verts: np.ndarray, tris: np.ndarray,
     t = np.ascontiguousarray(tris, np.int32)
     ci = np.ascontiguousarray(constrained_idx, np.int32)
     cp = np.ascontiguousarray(constrained_pos, np.float64)
+    if v.ndim != 2 or v.shape[1] != 2 or cp.shape != (len(ci), 2):
+        # the C side reads constrained_pos[2*c..] for every index — a
+        # shape mismatch would be an out-of-bounds native read
+        return None
     out = np.empty_like(v)
     ret = lib.arap_solve_2d(
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),

@@ -90,7 +90,11 @@ class EditorApp:
         for name in ('input', 'mask', 'target', 'output'):
             frame = tk.LabelFrame(top, text=name)
             frame.pack(side=tk.LEFT, padx=4, pady=4)
-            lbl = tk.Label(frame, width=256, height=256)
+            # size via a black placeholder image: tk.Label width/height
+            # ints are TEXT units (chars/lines) for an image-less label
+            ph = tk.PhotoImage(width=256, height=256)
+            lbl = tk.Label(frame, image=ph)
+            lbl._placeholder = ph   # keep a reference alive
             lbl.pack()
             self._panes[name] = lbl
 

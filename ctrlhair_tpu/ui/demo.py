@@ -28,7 +28,10 @@ def main(argv=None):
             parser.error(f'image not found: {path}')
 
     from ctrlhair_tpu.pipeline.backend import Backend
-    backend = Backend(maximum_value_fe=max(args.max_fe, 2.5),
+    # one scale for backend AND sliders: a larger backend range would make
+    # the top of the pca_std range unreachable from the UI and let
+    # transfers push readbacks past the slider clamp
+    backend = Backend(maximum_value_fe=args.max_fe,
                       blending=not args.no_blending)
 
     if args.headless:

@@ -17,8 +17,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ctrlhair_tpu.ui.app import (SLIDER_SPECS, apply_slider, read_sliders,
-                                 slider_to_value, value_to_slider)
+from ctrlhair_tpu.ui.app import SLIDER_SPECS, apply_slider, read_sliders
 
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>CtrlHair TPU</title>
@@ -44,6 +43,12 @@ _PAGE = """<!doctype html>
   <div class="pane"><div>output</div><img id="pane-output"></div>
 </div>
 <div class="controls">
+  <input id="load-path" placeholder="server path to image" size="40">
+  <button onclick="load('input')">Load input</button>
+  <button onclick="load('target')">Load target</button>
+  <span id="hint"></span>
+</div>
+<div class="controls">
   <button onclick="act('transfer','color')">Transfer color</button>
   <button onclick="act('transfer','texture')">Transfer texture</button>
   <button onclick="act('transfer','shape')">Transfer shape</button>
@@ -55,12 +60,15 @@ _PAGE = """<!doctype html>
 <script>
 const LIM = {lim};
 const SPECS = {specs};
-function refreshImages() {{
-  for (const n of ['input','mask','target','output'])
+function refreshImages(names) {{
+  for (const n of (names || ['input','mask','target','output']))
     document.getElementById('pane-'+n).src = '/image/'+n+'?t='+Date.now();
 }}
 async function refreshState() {{
   const st = await (await fetch('/state')).json();
+  document.getElementById('hint').textContent =
+    st.has_input ? '' : 'load an input image to begin';
+  if (!st.has_input) return;
   for (const [g, l, i] of SPECS) {{
     const el = document.getElementById('s-'+g+'-'+i);
     if (el && st.sliders[g+':'+i] !== undefined)
@@ -71,11 +79,20 @@ async function onSlider(group, idx, ticks) {{
   await fetch('/slider', {{method:'POST',
     body: JSON.stringify({{group: group, idx: idx,
                            value: ticks / 100.0}})}});
-  refreshImages();
+  refreshImages(['mask', 'output']);   // input/target never change per tick
 }}
 async function act(kind, arg) {{
   await fetch('/'+kind, {{method:'POST',
                           body: JSON.stringify({{arg: arg}})}});
+  await refreshState(); refreshImages(['mask', 'output']);
+}}
+async function load(which) {{
+  const path = document.getElementById('load-path').value;
+  const r = await fetch('/load', {{method:'POST',
+    body: JSON.stringify({{path: path, which: which}})}});
+  if (!r.ok) {{ const e = await r.json();
+                document.getElementById('hint').textContent =
+                  e.error || 'load failed'; return; }}
   await refreshState(); refreshImages();
 }}
 const holder = document.getElementById('sliders');
@@ -143,8 +160,9 @@ class WebEditor:
 
     def state(self) -> dict:
         with self.lock:
-            sliders = {f'{g}:{i}': v
-                       for (g, i), v in read_sliders(self.backend).items()}
+            sliders = ({} if self.backend.cur_latent is None else
+                       {f'{g}:{i}': v
+                        for (g, i), v in read_sliders(self.backend).items()})
         return {'sliders': sliders,
                 'has_input': self.images['input'] is not None,
                 'has_target': self.images['target'] is not None}
@@ -167,6 +185,16 @@ class WebEditor:
                 self.wfile.write(body)
 
             def do_GET(self):
+                try:
+                    self._do_get()
+                except Exception as e:   # surface errors, keep serving
+                    try:
+                        self._send(500,
+                                   json.dumps({'error': str(e)}).encode())
+                    except Exception:
+                        pass
+
+            def _do_get(self):
                 path = self.path.split('?')[0]
                 if path == '/':
                     page = _PAGE.format(
@@ -232,14 +260,18 @@ def main(argv=None):
     ap.add_argument('--input', default=None)
     ap.add_argument('--target', default=None)
     ap.add_argument('--no-blending', action='store_true')
+    ap.add_argument('--max-fe', type=float, default=2.0,
+                    help='slider range, shared by backend and frontend '
+                         '(ref frontend_demo.py:37)')
     args = ap.parse_args(argv)
 
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
     # warm the interactive (batch-1) programs on a background thread while
     # the server starts accepting requests
-    backend = Backend(blending=not args.no_blending,
+    backend = Backend(maximum_value_fe=args.max_fe,
+                      blending=not args.no_blending,
                       editor=HairEditorTPU(warm_batches=(1,)))
-    editor = WebEditor(backend)
+    editor = WebEditor(backend, maximum_value_fe=args.max_fe)
     if args.input:
         editor.load_input(read_rgb(args.input))
     if args.target:

@@ -100,7 +100,7 @@ def main():
     t_cg = slope_ms(f_cg, lambda i: (facef, genf, 1 - mask))
     print(f'  xla CG 200 iters: {t_cg:.2f} ms', flush=True)
     f_mg = jax.jit(lambda a, c, m: jax.vmap(
-        lambda x, y, z: poisson_blend(x, y, z, method='multigrid'))(a, c, m))
+        lambda x, y, z: poisson_blend(x, y, z, method='mg'))(a, c, m))
     jax.block_until_ready(f_mg(facef, genf, 1 - mask))
     t_mg = slope_ms(f_mg, lambda i: (facef, genf, 1 - mask))
     print(f'  xla multigrid: {t_mg:.2f} ms', flush=True)
