@@ -36,9 +36,9 @@ def test_dilate_erode_match_cv2(rng):
 
 def _direct_solve(source, target, mask, with_gamma=True):
     """Independent dense assembly of the blending system for verification:
-    interior mask==0 pixels are Dirichlet; every other row is the 5-point
-    Laplacian (horizontal couplings within a row only); rhs is Laplacian of
-    source, overridden by target wherever mask==0."""
+    interior mask==0 pixels are Dirichlet; every other row is the full
+    5-point Laplacian; rhs is the Laplacian of source, overridden by
+    target wherever mask==0."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     gamma = 2.2 if with_gamma else 1.0

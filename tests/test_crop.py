@@ -69,7 +69,7 @@ def test_recreate_aligned_consistent_under_shift():
 
 def test_editor_crop_face_runs():
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-    from tests.test_pipeline import tiny_cfg
+    from test_pipeline import tiny_cfg
     editor = HairEditorTPU(tiny_cfg())
     img = np.random.default_rng(2).integers(0, 255, (200, 200, 3),
                                             dtype=np.uint8)

@@ -130,7 +130,7 @@ def test_warp_between_uncropped_images_runs_crop_stage():
     (ref: wrap_codes/mask_adaptor.py:186-200)."""
     from ctrlhair_tpu.ops.warp import warp_hair_mask_between_images
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-    from tests.test_pipeline import tiny_cfg
+    from test_pipeline import tiny_cfg
 
     editor = HairEditorTPU(tiny_cfg())
     rng = np.random.default_rng(5)

@@ -9,10 +9,10 @@ import jax
 import jax.numpy as jnp
 
 from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-from tests.test_convert import _fake_ct_gen_sd, _fake_mlp_sd, \
+from test_convert import _fake_ct_gen_sd, _fake_mlp_sd, \
     _fake_shape_gen_sd
-from tests.test_convert_sean import _fake_sean_sd
-from tests.test_pipeline import tiny_cfg
+from test_convert_sean import _fake_sean_sd
+from test_pipeline import tiny_cfg
 
 
 def test_load_reference_params(tmp_path):

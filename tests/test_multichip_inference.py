@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from ctrlhair_tpu.parallel import mesh as pmesh
 from ctrlhair_tpu.pipeline.editor import HairEditorTPU
 from ctrlhair_tpu.pipeline.latent import Latent
-from tests.test_pipeline import tiny_cfg
+from test_pipeline import tiny_cfg
 
 
 def test_sharded_edit_batch_matches_single_device():

@@ -9,7 +9,7 @@ from ctrlhair_tpu.data.catalog import DataCatalog
 from ctrlhair_tpu.data.sean_dataset import SEANDataset
 from ctrlhair_tpu.pipeline.editor import HairEditorTPU
 from ctrlhair_tpu.utils.image import write_rgb
-from tests.test_pipeline import tiny_cfg
+from test_pipeline import tiny_cfg
 
 
 @pytest.fixture(scope='module')
@@ -59,7 +59,7 @@ def test_compute_masks_and_codes(editor, mini_root):
     assert next(iter(landmarks.values())).shape == (81, 2)
 
 
-def test_mean_style_codes(tmp_path):
+def test_mean_style_codes(tmp_path, editor):
     rng = np.random.default_rng(0)
     codes = {f'k{i}': rng.standard_normal((19, 8)).astype(np.float32)
              for i in range(5)}
@@ -70,8 +70,14 @@ def test_mean_style_codes(tmp_path):
     rows = np.stack([codes[f'k{i}'][3] for i in range(1, 5)])
     np.testing.assert_allclose(med[3], np.median(rows, axis=0), atol=1e-6)
     assert os.path.exists(tmp_path / 'median' / '13' / 'ACE.npy')
-    # round-trips into the editor fallback loader layout
-    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+    # round-trips through the editor's fallback loader (at ITS style_dim)
+    d = editor.cfg.sean.style_dim
+    codes_d = {f'm{i}': rng.standard_normal((19, d)).astype(np.float32)
+               for i in range(3)}
+    med_d = prep.compute_mean_style_codes(codes_d, str(tmp_path / 'ed'))
+    editor.load_style_fallback(str(tmp_path / 'ed' / 'median'))
+    np.testing.assert_allclose(
+        np.asarray(editor.params['style_fallback']), med_d, atol=1e-6)
 
 
 def test_warp_for_image_with_idx(mini_root, editor):

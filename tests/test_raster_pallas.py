@@ -20,7 +20,7 @@ def test_pallas_rasterizer_matches_xla(rng):
     verts, dst, tris = _mesh(size, (3.0, -2.0))
     pad = np.full((MAX_TRIS, 3), -1, np.int32)
     pad[:len(tris)] = tris
-    uv = (verts / (size - 1)).astype(np.float32)
+    uv = (verts / size).astype(np.float32)   # production convention: verts/size
     ref = np.asarray(rasterize_uv(jnp.asarray(dst, jnp.float32),
                                   jnp.asarray(pad), jnp.asarray(uv),
                                   size, size))

@@ -55,7 +55,7 @@ def _random_label(rng, n, size):
     return np.repeat(np.repeat(coarse, 16, axis=1), 16, axis=2).astype(np.int32)
 
 
-def _report(name, ours, theirs, atol, rtol_mean=None):
+def _report(name, ours, theirs, atol):
     ours = np.asarray(ours)
     theirs = np.asarray(theirs)
     diff = np.abs(ours - theirs)

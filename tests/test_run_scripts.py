@@ -47,13 +47,17 @@ def test_loop_resume(tmp_path):
                          model_save_step=2, sample_step=10 ** 9,
                          verbose=False)
     assert int(s1.step) == 5
-    # resume: restored from step 4 checkpoint, continues to 8
-    s2, _ = run_training(s0, step_fn, lambda i: jnp.ones(()), 8,
+    # resume: restored from the step-4 checkpoint, continues to 8.  The
+    # passed-in state is POISONED so a silent restart-from-scratch (resume
+    # not loading) is distinguishable: restored val is 5 (+3 more steps),
+    # a restart would end at -100 + 8.
+    poisoned = S(step=jnp.zeros((), jnp.int32), val=jnp.full((), -100.0))
+    s2, _ = run_training(poisoned, step_fn, lambda i: jnp.ones(()), 8,
                          rng=jax.random.PRNGKey(0), ckpt_dir=ck,
                          model_save_step=100, sample_step=10 ** 9,
                          verbose=False)
     assert int(s2.step) == 8
-    assert float(s2.val) > 4  # continued, not restarted
+    assert float(s2.val) == 8.0  # 5 restored + 3 continued steps
 
 
 def test_metrics_writer_fallback(tmp_path):

@@ -37,7 +37,7 @@ def test_apply_and_read_sliders(loaded_backend):
 @pytest.fixture(scope='module')
 def loaded_backend():
     from ctrlhair_tpu.pipeline.backend import Backend
-    from tests.test_pipeline import tiny_cfg
+    from test_pipeline import tiny_cfg
     be = Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
     img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
                                             dtype=np.uint8)
@@ -48,10 +48,6 @@ def loaded_backend():
 def test_headless_demo(tmp_path, loaded_backend, monkeypatch):
     # run the headless path with a tiny backend by monkeypatching Backend
     import ctrlhair_tpu.ui.demo as demo
-
-    class _FakeBackendFactory:
-        def __call__(self, **kwargs):
-            return loaded_backend
 
     monkeypatch.setattr('ctrlhair_tpu.pipeline.backend.Backend',
                         lambda **kw: loaded_backend)

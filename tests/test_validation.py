@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from ctrlhair_tpu.pipeline.editor import HairEditorTPU
 from ctrlhair_tpu.training import validation
-from tests.test_pipeline import tiny_cfg
+from test_pipeline import tiny_cfg
 
 
 @pytest.fixture(scope='module')

@@ -58,7 +58,7 @@ def test_rasterize_identity_roundtrip(rng):
     np.testing.assert_allclose(verts, dst)
     pad = np.full((MAX_TRIS, 3), -1, np.int32)
     pad[:len(tris)] = tris
-    uv = (verts / (size - 1)).astype(np.float32)
+    uv = (verts / size).astype(np.float32)   # production convention: verts/size
     uv_map = rasterize_uv(jnp.asarray(dst, jnp.float32), jnp.asarray(pad),
                           jnp.asarray(uv), size, size)
     out = np.asarray(sample_uv(jnp.asarray(mask), uv_map))
@@ -75,7 +75,7 @@ def test_rasterize_translation(rng):
     verts, vdst, tris = build_warp_mesh(src, dst, size, size, use_arap=True)
     pad = np.full((MAX_TRIS, 3), -1, np.int32)
     pad[:len(tris)] = tris
-    uv = (verts / (size - 1)).astype(np.float32)
+    uv = (verts / size).astype(np.float32)   # production convention: verts/size
     uv_map = rasterize_uv(jnp.asarray(vdst, jnp.float32), jnp.asarray(pad),
                           jnp.asarray(uv), size, size)
     out = np.asarray(sample_uv(jnp.asarray(mask), uv_map)) > 0.5

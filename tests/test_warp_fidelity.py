@@ -101,7 +101,7 @@ def test_warped_mask_iou_vs_reference_mesh(tmp_path):
     from ctrlhair_tpu.ops.warp import (BG_PAD, CHOSEN_LANDMARKS,
                                        build_warp_mesh, boundary_nodes)
     from ctrlhair_tpu.constants import HAIR_IDX
-    from tests.test_landmarks import synthetic_face
+    from test_landmarks import synthetic_face
 
     donor, _ = synthetic_face(size=512, cx=0.44, cy=0.50)
     target, _ = synthetic_face(size=512, cx=0.56, cy=0.55)

@@ -11,7 +11,7 @@ import pytest
 
 from ctrlhair_tpu.pipeline.backend import Backend
 from ctrlhair_tpu.ui.web import WebEditor
-from tests.test_pipeline import tiny_cfg
+from test_pipeline import tiny_cfg
 
 
 @pytest.fixture(scope='module')
