@@ -183,6 +183,16 @@ class ShapeConfig:
     lambda_gp_0: float = 10.0
     lambda_gp_0_noise: float = 10.0
     random_ae_prob: float = 0.5
+    # Optional branches, off in the shipped 054 config but expressible in the
+    # reference config system (ref: shape_branch/solver.py:94-107,136-141,
+    # 227-230).  lambda_info re-encodes the prior-noise decode and penalises
+    # code reconstruction; the moments match the AE hair code's batch mean /
+    # second moment; disturb_real_batch_mask adds renormalised uniform noise
+    # to every mask the discriminator or encoders see.
+    lambda_info: float = 0.0
+    lambda_moment_1: float = 0.0
+    lambda_moment_2: float = 0.0
+    disturb_real_batch_mask: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,6 +28,13 @@ def _masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(values * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def disturb_real(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """Uniform-noise mask disturbance, renormalised over the label channel
+    (ref: shape_branch/solver.py:227-230; torch dim=1 == our NHWC axis -1)."""
+    cur = jax.random.uniform(rng, mask.shape, mask.dtype) * 0.03 + mask
+    return cur / jnp.sum(cur, axis=-1, keepdims=True)
+
+
 class ShapeTrainer:
     def __init__(self, cfg: ShapeConfig):
         self.cfg = cfg
@@ -59,9 +66,14 @@ class ShapeTrainer:
     def _forward(self, params_g, batch, rng):
         """(ref: shape_branch/solver.py:68-117)"""
         cfg = self.cfg
-        k_vae, k_noise, k_branch = jax.random.split(rng, 3)
-        ae_in_hair, ae_in_target_face = split_hair_face(batch['target'])
-        _, ae_in_face = split_hair_face(batch['face'])
+        k_vae, k_noise, k_branch, k_dist_t, k_dist_f, k_info = \
+            jax.random.split(rng, 6)
+        target, face_mask = batch['target'], batch['face']
+        if cfg.disturb_real_batch_mask:   # ref: solver.py:73-77
+            target = disturb_real(target, k_dist_t)
+            face_mask = disturb_real(face_mask, k_dist_f)
+        ae_in_hair, ae_in_target_face = split_hair_face(target)
+        _, ae_in_face = split_hair_face(face_mask)
 
         hair_code, hair_mean, hair_std = self.gen.apply(
             params_g, ae_in_hair, k_vae, method=self.gen.encode_hair)
@@ -79,33 +91,48 @@ class ShapeTrainer:
         gan_mid_mask = self.gen.apply(params_g, gan_hair_logit,
                                       ae_face_logit,
                                       method=self.gen.merge_logits)
-        use_ae = jax.random.bernoulli(k_branch, cfg.random_ae_prob)
+        # With lambda_info the AE-vs-GAN coin is a fair 0.5 (ref:
+        # solver.py:104-107); otherwise random_ae_prob (ref: :109-116).
+        ae_prob = 0.5 if cfg.lambda_info > 0 else cfg.random_ae_prob
+        use_ae = jax.random.bernoulli(k_branch, ae_prob)
         fake_for_dis = jnp.where(use_ae, ae_out_mask, gan_mid_mask)
-        return dict(ae_in_hair=ae_in_hair,
-                    ae_in_target_face=ae_in_target_face,
-                    hair_code=hair_code, hair_mean=hair_mean,
-                    hair_std=hair_std, face_code=face_code,
-                    ae_out_mask=ae_out_mask, real_noise=real_noise,
-                    fake_for_dis=fake_for_dis)
+        out = dict(ae_in_hair=ae_in_hair,
+                   ae_in_target_face=ae_in_target_face,
+                   hair_code=hair_code, hair_mean=hair_mean,
+                   hair_std=hair_std, face_code=face_code,
+                   ae_out_mask=ae_out_mask, real_noise=real_noise,
+                   fake_for_dis=fake_for_dis)
+        if cfg.lambda_info > 0:
+            # Re-encode the prior-noise decode's hair channel; info loss is
+            # the code-space reconstruction (ref: solver.py:100-102,143-144;
+            # the reference re-encodes with VAE sampling active).
+            gan_mid_hair, _ = split_hair_face(gan_mid_mask)
+            gan_out_code, _, _ = self.gen.apply(
+                params_g, gan_mid_hair, k_info, method=self.gen.encode_hair)
+            out['gan_out_hair_code'] = gan_out_code
+        return out
 
     def _train_step(self, state: GANTrainState,
                     batch: Dict[str, jnp.ndarray], rng: jax.Array):
         cfg = self.cfg
         sch = self.schedule
         step = state.step
-        k_fwd, _ = jax.random.split(rng)
+        k_fwd, k_dreal = jax.random.split(rng)
+        real_batch = batch['real']
+        if cfg.disturb_real_batch_mask:   # ref: solver.py:217-218
+            real_batch = disturb_real(real_batch, k_dreal)
 
         # ----------------------------- D step (ref: solver.py:216-225)
         def d_loss_fn(params_d):
             fwd = self._forward(state.gen.params, batch, k_fwd)
             adv_fn = lambda x: self.dis.apply(params_d, x)
-            dis_real = adv_fn(batch['real'])
+            dis_real = adv_fn(real_batch)
             dis_fake = adv_fn(jax.lax.stop_gradient(fwd['fake_for_dis']))
             ld = {'lambda_adv': L.gan_loss_d(cfg.gan_type, dis_real,
                                              dis_fake)}
             if cfg.lambda_gp_0 > 0:
                 ld['lambda_gp_0'] = L.r0_gradient_penalty(
-                    adv_fn, batch['real'])
+                    adv_fn, real_batch)
             return sch.total(ld, step), (ld, fwd)
 
         (d_total, (d_losses, fwd)), d_grads = jax.value_and_grad(
@@ -135,6 +162,15 @@ class ShapeTrainer:
             lg['lambda_self_rec'] = _masked_mean(
                 -jnp.log(donor_mask + 1e-5), batch['hair'] > 0.5)
             lg['lambda_kl'] = L.kl_loss(f['hair_mean'], f['hair_std'])
+            if cfg.lambda_moment_1 > 0:   # ref: solver.py:136-139
+                lg['lambda_moment_1'] = jnp.mean(
+                    jnp.mean(f['hair_code'], axis=0) ** 2)
+            if cfg.lambda_moment_2 > 0:   # ref: solver.py:140-141
+                lg['lambda_moment_2'] = jnp.mean(
+                    (jnp.mean(f['hair_code'] ** 2, axis=0) - 0.973) ** 2)
+            if cfg.lambda_info > 0:       # ref: solver.py:143-144
+                lg['lambda_info'] = jnp.mean(
+                    (f['gan_out_hair_code'] - f['real_noise']) ** 2)
             dz = self.dis_noise.apply(state.dis_noise.params,
                                       f['hair_code'])
             lg['lambda_adv_noise'] = L.gan_loss_g(cfg.gan_type, dz)

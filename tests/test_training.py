@@ -94,6 +94,50 @@ def test_shape_trainer_step():
     assert _params_changed(new_state.gen.params, state2.gen.params)
 
 
+def test_shape_trainer_optional_branches():
+    """lambda_info / lambda_moment_1/2 / disturb_real_batch_mask — the
+    reference config branches inactive in 054 (ref:
+    shape_branch/solver.py:94-107,136-141,227-230)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        TINY_SHAPE, lambda_info=1.0, lambda_moment_1=1.0,
+        lambda_moment_2=1.0, disturb_real_batch_mask=True)
+    tr = ShapeTrainer(cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    batch = shape_batch(jax.random.PRNGKey(1), cfg, 2)
+    # moment formulas vs the forward's own hair code (ref: solver.py:136-141)
+    # — computed before train_step, which donates `state`
+    fwd = jax.tree.map(np.asarray, tr._forward(
+        state.gen.params, batch,
+        jax.random.split(jax.random.PRNGKey(2))[0]))
+    new_state, metrics = tr.train_step(state, batch, jax.random.PRNGKey(2))
+    assert bool(metrics['finite'])
+    for key in ('g/lambda_info', 'g/lambda_moment_1', 'g/lambda_moment_2'):
+        assert key in metrics and np.isfinite(float(metrics[key]))
+    code = np.asarray(fwd['hair_code'])
+    m1 = float(np.mean(np.mean(code, axis=0) ** 2))
+    m2 = float(np.mean((np.mean(code ** 2, axis=0) - 0.973) ** 2))
+    assert np.isclose(float(metrics['g/lambda_moment_1']), m1, rtol=1e-4)
+    assert np.isclose(float(metrics['g/lambda_moment_2']), m2, rtol=1e-4)
+    assert 'gan_out_hair_code' in fwd
+    state2 = tr.init_state(jax.random.PRNGKey(0))
+    assert _params_changed(new_state.gen.params, state2.gen.params)
+
+
+def test_shape_disturb_real_formula():
+    """disturb_real: mask + U[0,0.03), renormalised over the label channel
+    (ref: shape_branch/solver.py:227-230, torch dim=1 == NHWC axis -1)."""
+    from ctrlhair_tpu.training.shape_trainer import disturb_real
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random((2, 8, 8, 19)).astype(np.float32))
+    out = np.asarray(disturb_real(mask, jax.random.PRNGKey(0)))
+    assert np.allclose(out.sum(-1), 1.0, atol=1e-5)
+    delta = out * np.asarray(
+        (jnp.sum(jax.random.uniform(jax.random.PRNGKey(0), mask.shape) * 0.03
+                 + mask, axis=-1, keepdims=True))) - np.asarray(mask)
+    assert delta.min() >= 0.0 and delta.max() <= 0.03 + 1e-6
+
+
 def test_bisenet_trainer_step():
     from ctrlhair_tpu.config import BiSeNetConfig
     from ctrlhair_tpu.training.bisenet_trainer import (
