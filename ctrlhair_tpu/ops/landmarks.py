@@ -75,6 +75,33 @@ _TEMPLATE_ANCHORS = {
 }
 
 
+def select_main_face(label: np.ndarray) -> np.ndarray:
+    """Restrict a parse to its largest connected face, for multi-face frames.
+
+    dlib's detector picks one face box per call (ref:
+    external_code/landmarks_util.py:17-19,30-37); our parsing-driven
+    estimator has no detector, so centroids over a two-face frame would
+    average across faces.  Equivalent hardening: connected components over
+    the face-evidence mask (closed to bridge small occlusions), keep the
+    largest, relabel every other component's face pixels as background.
+    """
+    from scipy import ndimage
+    face = np.isin(label, _FACE_IDS + [_L_EAR, _R_EAR])
+    if not face.any():
+        return label
+    closed = ndimage.binary_closing(
+        face, structure=np.ones((3, 3), bool), iterations=2)
+    comp, n = ndimage.label(closed)
+    if n <= 1:
+        return label
+    sizes = ndimage.sum_labels(np.ones(comp.shape), comp,
+                               index=np.arange(1, n + 1))
+    keep = 1 + int(np.argmax(sizes))
+    out = np.asarray(label).copy()
+    out[face & (comp != keep)] = 0
+    return out
+
+
 def _region_centroid(label: np.ndarray, ids) -> np.ndarray | None:
     if np.isscalar(ids):
         ids = [ids]
@@ -109,12 +136,27 @@ def template_landmarks_81(label_map: np.ndarray) -> np.ndarray:
     placement if fewer than two anchor regions are visible.
     """
     anchors_src, anchors_dst = [], []
+    found = {}
     for name, ids in (('l_eye', _L_EYE), ('r_eye', _R_EYE),
                       ('nose', _NOSE), ('mouth', _MOUTH_IDS)):
         c = _region_centroid(label_map, ids)
         if c is not None:
+            found[name] = True
             anchors_src.append(_TEMPLATE_ANCHORS[name])
             anchors_dst.append(c)
+    # Glasses fallback: `eye_g` occludes both eye regions in CelebAMask
+    # parses; recover the two eye anchors as the left/right-lobe centroids
+    # of the glasses region (dlib still regresses eyes under glasses).
+    if 'l_eye' not in found and 'r_eye' not in found:
+        ys, xs = np.nonzero(np.asarray(label_map) == _EYE_G)
+        if xs.size >= 32:
+            mid = np.median(xs)
+            s = float(label_map.shape[1])
+            for name, sel in (('l_eye', xs <= mid), ('r_eye', xs > mid)):
+                if sel.sum() >= 8:
+                    anchors_src.append(_TEMPLATE_ANCHORS[name])
+                    anchors_dst.append(np.array(
+                        [xs[sel].mean(), ys[sel].mean()]) / s)
     if len(anchors_src) < 2:
         return _TEMPLATE.copy()
     rot, t = _fit_similarity(np.asarray(anchors_src, np.float64),
@@ -313,8 +355,17 @@ def contour_landmarks_81(label_map: np.ndarray) -> np.ndarray:
 
     Groups: 0-16 jaw (face-silhouette rays), 17-26 brows, 27-35 nose,
     36-47 eyes, 48-67 mouth, 68-80 hairline (skin/hair boundary rays).
+
+    Failure envelope (tests/test_landmarks.py adversarial cases): multi-face
+    frames resolve to the largest face; glasses fall back to eye_g-derived
+    anchors + template eyes; missing regions fall back per-group to the
+    fitted template; an empty parse returns the bare template.  In-plane
+    rotation up to ~30 deg is recovered by the similarity fit.  Profile
+    (out-of-plane) faces and parses where *no* anchor region survives
+    degrade to the template prior — same envelope where dlib's frontal HOG
+    detector simply fails (ref: external_code/landmarks_util.py:17-19).
     """
-    label = np.asarray(label_map)
+    label = select_main_face(np.asarray(label_map))
     size = label.shape[0]
     prior = template_landmarks_81(label).astype(np.float64) * size
     out = prior.copy()
@@ -373,7 +424,7 @@ def estimate_landmarks_81(label_map: np.ndarray,
     """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1]."""
     if method == 'contour':
         return contour_landmarks_81(label_map)
-    return template_landmarks_81(label_map)
+    return template_landmarks_81(select_main_face(np.asarray(label_map)))
 
 
 def estimate_landmarks_68(label_map: np.ndarray,
