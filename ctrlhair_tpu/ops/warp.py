@@ -99,21 +99,31 @@ def build_warp_mesh(src_landmarks: np.ndarray, dst_landmarks: np.ndarray,
         if solved is not None:
             verts_dst = solved
         else:
-            # piecewise-affine fallback: interpolate the displacement field of
-            # the constrained Delaunay onto the free points
-            disp = constrained_dst - constrained_src
-            coarse = Delaunay(constrained_src)
-            simplex = coarse.find_simplex(verts_src[free_idx])
-            simplex = np.maximum(simplex, 0)
-            trans = coarse.transform[simplex]
-            bary2 = np.einsum('nij,nj->ni', trans[:, :2],
-                              verts_src[free_idx] - trans[:, 2])
-            bary = np.concatenate(
-                [bary2, 1 - bary2.sum(1, keepdims=True)], 1)
-            tri_pts = coarse.simplices[simplex]
-            verts_dst[free_idx] = verts_src[free_idx] + np.einsum(
-                'ni,nid->nd', bary, disp[tri_pts])
+            verts_dst[free_idx] = piecewise_affine_free_verts(
+                verts_src[free_idx], constrained_src, constrained_dst)
     return verts_src, verts_dst, tris
+
+
+def piecewise_affine_free_verts(free_pts: np.ndarray,
+                                constrained_src: np.ndarray,
+                                constrained_dst: np.ndarray) -> np.ndarray:
+    """Interpolate the constrained displacement field onto free points via
+    the coarse constrained Delaunay: the non-ARAP piecewise-affine
+    deformation.  Used as build_warp_mesh's fallback and as an
+    ARAP-independent cross-check of warp fidelity (the reference pipes the
+    same correspondences through libigl ARAP instead,
+    ref: wrap_codes/wrap_triangle/triangle_wrap_hair.py:47-125)."""
+    from scipy.spatial import Delaunay
+
+    disp = constrained_dst - constrained_src
+    coarse = Delaunay(constrained_src)
+    simplex = coarse.find_simplex(free_pts)
+    simplex = np.maximum(simplex, 0)
+    trans = coarse.transform[simplex]
+    bary2 = np.einsum('nij,nj->ni', trans[:, :2], free_pts - trans[:, 2])
+    bary = np.concatenate([bary2, 1 - bary2.sum(1, keepdims=True)], 1)
+    tri_pts = coarse.simplices[simplex]
+    return free_pts + np.einsum('ni,nid->nd', bary, disp[tri_pts])
 
 
 @functools.partial(jax.jit, static_argnames=('height', 'width', 'chunk'))
