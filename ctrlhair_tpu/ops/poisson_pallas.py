@@ -117,7 +117,9 @@ def poisson_blend_fused(source: jnp.ndarray, target: jnp.ndarray,
 
     to_chw = lambda x: x.transpose(0, 3, 1, 2)
     unk3 = jnp.broadcast_to(unk, b_eff.shape)
-    x = pallas_masked_cg(to_chw(b_eff), to_chw(unk3), to_chw(tgt * unk),
+    # x0 = src (not tgt): the solution is src + a harmonic ring correction,
+    # so this start converges ~10x faster (see ops/poisson.py)
+    x = pallas_masked_cg(to_chw(b_eff), to_chw(unk3), to_chw(src * unk),
                          iterations=iterations, interpret=interpret)
     x = x.transpose(0, 2, 3, 1)
     out = jnp.where(fixed[..., None], tgt, x)

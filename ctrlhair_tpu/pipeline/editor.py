@@ -165,11 +165,15 @@ class HairEditorTPU:
     # ------------------------------------------------------------- functional
     def _parse(self, params, img_u8: jnp.ndarray) -> jnp.ndarray:
         """[N, S, S, 3] uint8 (any size) -> [N, 512, 512] CelebA label map."""
-        x = img_u8.astype(jnp.float32) / 255.0
+        x = img_u8.astype(jnp.float32)
         size = self.cfg.bisenet.input_size
         if x.shape[1] != size or x.shape[2] != size:
-            x = resize_bilinear_nhwc(x, (size, size), align_corners=False)
-        x = normalize_imagenet(x)
+            # quantise back to the uint8 grid: the reference feeds the parser
+            # a PIL-resized uint8 image (ref: my_parsing_util.py:34), so the
+            # 512px input is always integer-valued
+            x = jnp.round(resize_bilinear_nhwc(x, (size, size),
+                                               align_corners=False))
+        x = normalize_imagenet(x / 255.0)
         logits = self.bisenet.apply(params['bisenet'], x)
         # channel permutation before argmax == label remap after argmax
         # (bijective map; avoids a [N,512,512] gather, which crawls on TPU)

@@ -44,3 +44,48 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)
+
+
+# fast-iteration subset: `pytest -m quick` (pure-op + geometry modules, no
+# editor/trainer compiles)
+_QUICK_MODULES = {
+    'test_ops', 'test_blend', 'test_metrics', 'test_data', 'test_crop',
+    'test_warp', 'test_landmarks', 'test_direction_finder', 'test_prep',
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+
+
+def tiny_pipeline_cfg():
+    """The shared tiny PipelineConfig for CPU pipeline tests."""
+    from ctrlhair_tpu.config import (
+        BiSeNetConfig, ColorTextureConfig, PipelineConfig, SEANConfig,
+        ShapeConfig)
+    return PipelineConfig(
+        sean=SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64),
+        bisenet=BiSeNetConfig(input_size=128),
+        color_texture=ColorTextureConfig(style_dim=64),
+        shape=ShapeConfig(img_size=64, layer_num=5, max_channel=64,
+                          hidden_in_channel=8),
+        edit_size=64,
+        poisson_iterations=60,
+        compute_dtype='float32',
+    )
+
+
+@pytest.fixture(scope='session')
+def tiny_editor():
+    """ONE HairEditorTPU shared across every module that only READS params.
+
+    Each HairEditorTPU re-jits its pipeline programs (jit caches are
+    per-instance), so module-scoped editors recompiled the same tiny
+    programs once per module — the dominant cold-suite cost on this 1-core
+    host.  Tests that mutate params (checkpoint loading) must build their
+    own instance.
+    """
+    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+    return HairEditorTPU(tiny_pipeline_cfg())

@@ -108,6 +108,25 @@ def test_poisson_cg_matches_direct(rng):
     assert np.abs(ref - got).max() < 0.75, np.abs(ref - got).max()
 
 
+def test_poisson_cg_converges_on_large_unknown_region(rng):
+    """The production polarity (mask = 1 - dilated_hair) leaves MOST of the
+    image unknown; the smooth far-field mode then converges slowly from a
+    target start (regression: CG-200 at 256px was 15 uint8 off the exact
+    spsolve until x0 was switched to the source — caught by the
+    full-pipeline golden test)."""
+    pytest.importorskip('scipy')
+    h = w = 96
+    source = rng.random((h, w, 3)) * 255
+    target = rng.random((h, w, 3)) * 255
+    mask = np.ones((h, w), np.uint8)          # unknown almost everywhere
+    mask[30:66, 26:70] = 0                    # Dirichlet island (the "hair")
+    ref = _direct_solve(source, target, mask)
+    got = np.asarray(poisson_blend(
+        jnp.asarray(source), jnp.asarray(target), jnp.asarray(mask),
+        iterations=200))
+    assert np.abs(ref - got).max() < 1.0, np.abs(ref - got).max()
+
+
 def test_poisson_identity_outside_mask(rng):
     h = w = 24
     source = rng.random((h, w, 3)) * 255

@@ -67,10 +67,8 @@ def test_recreate_aligned_consistent_under_shift():
     assert diff < 8.0, diff
 
 
-def test_editor_crop_face_runs():
-    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-    from test_pipeline import tiny_cfg
-    editor = HairEditorTPU(tiny_cfg())
+def test_editor_crop_face_runs(tiny_editor):
+    editor = tiny_editor
     img = np.random.default_rng(2).integers(0, 255, (200, 200, 3),
                                             dtype=np.uint8)
     out = editor.crop_face(img)

@@ -35,8 +35,9 @@ def test_save_load_roundtrip_and_backend_autoload(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
-def test_render_candidate_grids(tmp_path):
-    be = Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+def test_render_candidate_grids(tmp_path, tiny_editor):
+    be = Backend(maximum_value_fe=2.5, blending=False,
+                 cfg=tiny_editor.cfg, editor=tiny_editor)
     rng = np.random.default_rng(3)
     be.set_input_img(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
     cands = render_candidate_grids(be, 'texture', str(tmp_path),

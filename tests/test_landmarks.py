@@ -246,15 +246,13 @@ def test_no_face_at_all_returns_template():
     _assert_valid(lm)
 
 
-def test_warp_between_uncropped_images_runs_crop_stage():
+def test_warp_between_uncropped_images_runs_crop_stage(tiny_editor):
     """Raw (uncropped, non-square) photos follow the reference chain:
     crop both at `crop_size` -> parse both -> warp
     (ref: wrap_codes/mask_adaptor.py:186-200)."""
     from ctrlhair_tpu.ops.warp import warp_hair_mask_between_images
-    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-    from test_pipeline import tiny_cfg
 
-    editor = HairEditorTPU(tiny_cfg())
+    editor = tiny_editor
     rng = np.random.default_rng(5)
     img_a = rng.integers(0, 255, (160, 140, 3), dtype=np.uint8)
     img_b = rng.integers(0, 255, (150, 170, 3), dtype=np.uint8)

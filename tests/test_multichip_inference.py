@@ -7,13 +7,11 @@ import jax
 import jax.numpy as jnp
 
 from ctrlhair_tpu.parallel import mesh as pmesh
-from ctrlhair_tpu.pipeline.editor import HairEditorTPU
 from ctrlhair_tpu.pipeline.latent import Latent
-from test_pipeline import tiny_cfg
 
 
-def test_sharded_edit_batch_matches_single_device():
-    editor = HairEditorTPU(tiny_cfg())
+def test_sharded_edit_batch_matches_single_device(tiny_editor):
+    editor = tiny_editor
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     res = editor.analyze_image(img)

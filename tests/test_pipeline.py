@@ -5,30 +5,18 @@ import pytest
 
 import jax.numpy as jnp
 
-from ctrlhair_tpu.config import (
-    BiSeNetConfig, ColorTextureConfig, PipelineConfig, SEANConfig,
-    ShapeConfig)
 from ctrlhair_tpu.constants import HAIR_IDX
 from ctrlhair_tpu.pipeline.backend import Backend
 from ctrlhair_tpu.pipeline.latent import Latent, stack_latents
 
 
-def tiny_cfg() -> PipelineConfig:
-    return PipelineConfig(
-        sean=SEANConfig(crop_size=64, ngf=4, zencoder_ngf=4, style_dim=64),
-        bisenet=BiSeNetConfig(input_size=128),
-        color_texture=ColorTextureConfig(style_dim=64),
-        shape=ShapeConfig(img_size=64, layer_num=5, max_channel=64,
-                          hidden_in_channel=8),
-        edit_size=64,
-        poisson_iterations=60,
-        compute_dtype='float32',
-    )
+from conftest import tiny_pipeline_cfg as tiny_cfg  # shared tiny config
 
 
 @pytest.fixture(scope='module')
-def backend():
-    return Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+def backend(tiny_editor):
+    return Backend(maximum_value_fe=2.5, blending=False,
+                   cfg=tiny_editor.cfg, editor=tiny_editor)
 
 
 @pytest.fixture(scope='module')
@@ -185,9 +173,9 @@ def test_output_batch_and_sweeps(loaded):
     np.testing.assert_array_equal(single, batch1[0])
 
 
-def test_blending_path():
-    cfg = tiny_cfg()
-    be = Backend(maximum_value_fe=2.5, blending=True, cfg=cfg)
+def test_blending_path(tiny_editor):
+    be = Backend(maximum_value_fe=2.5, blending=True,
+                 cfg=tiny_editor.cfg, editor=tiny_editor)
     rng = np.random.default_rng(5)
     img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
     be.set_input_img(img)

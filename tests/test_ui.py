@@ -35,10 +35,10 @@ def test_apply_and_read_sliders(loaded_backend):
 
 
 @pytest.fixture(scope='module')
-def loaded_backend():
+def loaded_backend(tiny_editor):
     from ctrlhair_tpu.pipeline.backend import Backend
-    from test_pipeline import tiny_cfg
-    be = Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+    be = Backend(maximum_value_fe=2.5, blending=False,
+                 cfg=tiny_editor.cfg, editor=tiny_editor)
     img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
                                             dtype=np.uint8)
     be.set_input_img(img)

@@ -5,14 +5,12 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ctrlhair_tpu.pipeline.editor import HairEditorTPU
 from ctrlhair_tpu.training import validation
-from test_pipeline import tiny_cfg
 
 
 @pytest.fixture(scope='module')
-def editor_and_analysis():
-    editor = HairEditorTPU(tiny_cfg())
+def editor_and_analysis(tiny_editor):
+    editor = tiny_editor
     img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
                                             dtype=np.uint8)
     res = editor.analyze_image(img)

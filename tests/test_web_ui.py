@@ -11,12 +11,12 @@ import pytest
 
 from ctrlhair_tpu.pipeline.backend import Backend
 from ctrlhair_tpu.ui.web import WebEditor
-from test_pipeline import tiny_cfg
 
 
 @pytest.fixture(scope='module')
-def server():
-    backend = Backend(maximum_value_fe=2.5, blending=False, cfg=tiny_cfg())
+def server(tiny_editor):
+    backend = Backend(maximum_value_fe=2.5, blending=False,
+                      cfg=tiny_editor.cfg, editor=tiny_editor)
     editor = WebEditor(backend, maximum_value_fe=2.5)
     rng = np.random.default_rng(0)
     editor.load_input(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
