@@ -232,12 +232,15 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
                             face_parsing: np.ndarray,
                             hair_lm_81: np.ndarray,
                             face_lm_81: np.ndarray,
-                            use_arap: bool = True) -> np.ndarray:
+                            use_arap: bool = True,
+                            out_size: int = 0) -> np.ndarray:
     """Warp the donor's hair mask onto the target face geometry
     (ref: wrap_codes/mask_adaptor.py:87-143).
 
     hair_lm_81 / face_lm_81: [81,2] in [0,1]. Parsings: [512,512] labels.
-    Returns the composite parsing [512,512] (255 where old hair uncovered).
+    Returns the composite parsing (255 where old hair uncovered) at the
+    working size, or nearest-downscaled to `out_size` inside the same
+    device dispatch when given.
     """
     size = hair_parsing.shape[0]
     hair_mask = (np.asarray(hair_parsing) == HAIR_IDX).astype(np.float32)
@@ -288,7 +291,8 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
         return np.asarray(_rasterize_composite(
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
             jnp.asarray(uv), jnp.asarray(total),
-            jnp.asarray(face_parsing, jnp.int32), big, pad))
+            jnp.asarray(face_parsing, jnp.int32), big, pad,
+            out_size=out_size))
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
     # the reference truncates the bilinear-sampled float mask to uint8
     # (wrap_by_uv -> astype in hair_mask_transfer_wrap), keeping only
@@ -296,12 +300,17 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     # warped hair; >0.5 would grow the contour by ~1px vs the reference
     warped = (warped >= 1.0 - 1e-6)[pad:-pad, pad:-pad]
 
-    return naive_transfer(warped * HAIR_IDX, face_parsing)
+    out = naive_transfer(warped * HAIR_IDX, face_parsing)
+    if out_size and out_size != out.shape[0] \
+            and out.shape[0] % out_size == 0:
+        f = out.shape[0] // out_size
+        out = out[::f, ::f]
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=('size', 'pad'))
+@functools.partial(jax.jit, static_argnames=('size', 'pad', 'out_size'))
 def _rasterize_composite(verts_dst, tris_pad, uv, total, face_parsing,
-                         size: int, pad: int):
+                         size: int, pad: int, out_size: int = 0):
     uv_map = rasterize_uv(verts_dst, tris_pad, uv, size, size)
     # truncation semantics: only fully-interior pixels (value 1.0) count,
     # matching the reference's astype-uint8 of the sampled float mask
@@ -309,7 +318,15 @@ def _rasterize_composite(verts_dst, tris_pad, uv, total, face_parsing,
     warped = warped[pad:size - pad, pad:size - pad]
     # naive_transfer (ref: mask_adaptor.py:63-73): uncovered old hair -> 255
     out = jnp.where(face_parsing == HAIR_IDX, UNKNOWN_LABEL, face_parsing)
-    return jnp.where(warped, HAIR_IDX, out)
+    out = jnp.where(warped, HAIR_IDX, out)
+    work = size - 2 * pad
+    if out_size and out_size != work and work % out_size == 0:
+        # fold the edit-size nearest downscale (cv2.INTER_NEAREST strided
+        # fast path) into the same dispatch: smaller downlink, no second
+        # program (ref chain resizes after warp, ui/backend.py:277)
+        f = work // out_size
+        out = out[::f, ::f]
+    return out
 
 
 def warp_for_image_with_idx(catalog, landmark_dict, hair_key: str,
@@ -356,7 +373,11 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
                                   face_img: np.ndarray, editor,
                                   use_arap: bool = True,
                                   need_crop: bool = True,
-                                  crop_size: int = 1024) -> np.ndarray:
+                                  crop_size: int = 1024,
+                                  hair_parse512: np.ndarray = None,
+                                  face_parse512: np.ndarray = None,
+                                  hair_lm81: np.ndarray = None,
+                                  face_lm81: np.ndarray = None) -> np.ndarray:
     """End-to-end reference-shape transfer between two raw images
     (ref: wrap_codes/mask_adaptor.py:175-220).
 
@@ -364,31 +385,42 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
     (skippable for pre-aligned inputs), re-parse the crops, estimate 81
     landmarks from the crop parses, warp, and return a 256x256 composite
     parsing label map.
+
+    hair_parse512/face_parse512/hair_lm81/face_lm81: optional precomputed
+    512px parses and [81,2] landmarks for aligned inputs — the Backend
+    already parsed both images at set_input/set_target time, so repeated
+    transfers skip the parse program and the host landmark estimation
+    (the reference instead re-runs dlib + BiSeNet per transfer,
+    ref: mask_adaptor.py:202-212).
     """
     from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
-    from ctrlhair_tpu.ops.resize import resize_nearest
 
     if need_crop:
         hair_img = _crop_for_warp(np.asarray(hair_img), editor, crop_size)
         face_img = _crop_for_warp(np.asarray(face_img), editor, crop_size)
+        hair_parse512 = face_parse512 = None   # crops invalidate any cache
 
-    hair_img, face_img = np.asarray(hair_img), np.asarray(face_img)
-    if hair_img.shape == face_img.shape:
-        # one batched parse + one downlink for both images
-        both = np.asarray(editor.parse(
-            editor.params, jnp.stack([jnp.asarray(hair_img),
-                                      jnp.asarray(face_img)])
-        ).astype(jnp.uint8)).astype(np.int32)
-        hair512, face512 = both[0], both[1]
+    if hair_parse512 is None or face_parse512 is None:
+        hair_img, face_img = np.asarray(hair_img), np.asarray(face_img)
+        if hair_img.shape == face_img.shape:
+            # one batched parse + one downlink for both images
+            both = np.asarray(editor.parse(
+                editor.params, jnp.stack([jnp.asarray(hair_img),
+                                          jnp.asarray(face_img)])
+            ).astype(jnp.uint8)).astype(np.int32)
+            hair512, face512 = both[0], both[1]
+        else:
+            hair512 = np.asarray(
+                editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])
+            face512 = np.asarray(
+                editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
     else:
-        hair512 = np.asarray(
-            editor.parse(editor.params, jnp.asarray(hair_img)[None])[0])
-        face512 = np.asarray(
-            editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
-    hair_lm = estimate_landmarks_81(hair512)
-    face_lm = estimate_landmarks_81(face512)
-    composite = hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,
-                                        use_arap=use_arap)
-    s = editor.cfg.edit_size
-    out = resize_nearest(jnp.asarray(composite), (s, s))
-    return np.asarray(out)
+        hair512 = np.asarray(hair_parse512)
+        face512 = np.asarray(face_parse512)
+    hair_lm = (estimate_landmarks_81(hair512) if hair_lm81 is None
+               else np.asarray(hair_lm81))
+    face_lm = (estimate_landmarks_81(face512) if face_lm81 is None
+               else np.asarray(face_lm81))
+    return hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,
+                                   use_arap=use_arap,
+                                   out_size=editor.cfg.edit_size)

@@ -56,6 +56,8 @@ class Backend:
                                  TEXTURE_DIM, 2)
         self._rng = np.random.default_rng(seed)
 
+        self._parse512 = {}            # 'input'/'target' -> [512,512] label
+        self._lm81 = {}                # 'input'/'target' -> [81,2] or None
         self.input_img = None          # uint8 [256,256,3]
         self.target_img = None
         self.input_mask = None         # parsed label [256,256]
@@ -81,8 +83,25 @@ class Backend:
         out_mask = (None if target_img
                     else np.asarray(res['regen_label'][0]))
         mask = np.asarray(res['label'][0])
+        # cache the 512px parse for shape transfers (device array, lazy);
+        # landmarks are derived on first use (see _landmarks81)
+        key = 'target' if target_img else 'input'
+        self._parse512[key] = res['label512'][0]
+        self._lm81[key] = None
         return (img_ts, out_mask, res['latent'], mask,
                 res['sean_codes'], res['hair_feature'])
+
+    def _landmarks81(self, key: str):
+        """Cached [81,2] landmarks from the cached 512px parse — the
+        target/input geometry does not change between transfers, so repeated
+        transfers skip both the parse program and the host landmark
+        estimation (the reference re-runs dlib+BiSeNet per transfer,
+        ref: wrap_codes/mask_adaptor.py:202-212)."""
+        if self._lm81.get(key) is None and self._parse512.get(key) is not None:
+            from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
+            self._parse512[key] = np.asarray(self._parse512[key])
+            self._lm81[key] = estimate_landmarks_81(self._parse512[key])
+        return self._lm81.get(key)
 
     def _resized256(self, img_rgb: np.ndarray) -> np.ndarray:
         s = self.cfg.edit_size
@@ -203,7 +222,11 @@ class Backend:
             # 1024 crop stage is skipped (ref: ui/backend.py:275 need_crop=False)
             wt = warp_hair_mask_between_images(
                 self.target_img, self.input_img,
-                editor=self.editor, need_crop=False)
+                editor=self.editor, need_crop=False,
+                hair_parse512=self._parse512.get('target'),
+                face_parse512=self._parse512.get('input'),
+                hair_lm81=self._landmarks81('target'),
+                face_lm81=self._landmarks81('input'))
             self.warp_target = wt
             shape_code, face_code = self.editor.encode_shape(
                 self.editor.params, jnp.asarray(wt, jnp.int32)[None])
@@ -321,14 +344,17 @@ class Backend:
         n = latents.texture.shape[0]
         codes = jnp.tile(self.input_sean_code, (n, 1, 1))
         mask = jnp.tile(self._cur_mask_batched(), (n, 1, 1))
-        img = self.editor.edit_render(self.editor.params, codes, mask,
-                                      latents)
         if self.blending:
+            # ONE fused render+blend program (same program the single-edit
+            # path uses) instead of edit_render + blend: halves dispatches
+            # and keeps the intermediate render on device
             face = jnp.tile(jnp.asarray(self.input_img)[None], (n, 1, 1, 1))
             flabel = jnp.tile(jnp.asarray(self.input_mask)[None], (n, 1, 1))
-            out = self.editor.blend(self.editor.params, face, img, flabel,
-                                    mask)
+            out = self.editor.output(self.editor.params, codes, latents,
+                                     face, flabel, mask)
             return np.asarray(out)
+        img = self.editor.edit_render(self.editor.params, codes, mask,
+                                      latents)
         return np.asarray(jnp.clip(
             jnp.round(img * 127.5 + 127.5), 0, 255)).astype(np.uint8)
 

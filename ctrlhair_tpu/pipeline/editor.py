@@ -184,8 +184,18 @@ class HairEditorTPU:
     def _analyze(self, params, img_u8_256: jnp.ndarray,
                  img_u8_512: jnp.ndarray):
         """Full image analysis in one program (ref: ui/backend.py:67-106)."""
-        cfg = self.cfg
         label512 = self._parse(params, img_u8_512)
+        return self._analyze_tail(params, img_u8_256, label512)
+
+    def _analyze_tail(self, params, img_u8_256: jnp.ndarray,
+                      label512: jnp.ndarray):
+        """Analysis downstream of the parser.  Jitted separately as well:
+        the interactive batch-1 path runs parse and tail as TWO programs —
+        each is a much smaller (faster, more reliably cached) compile than
+        the fused giant, and they chain on the device queue with no host
+        sync between, so steady-state cost is unchanged.  The fused
+        `analyze` stays the batched-throughput path."""
+        cfg = self.cfg
         label = resize_nearest(label512, (cfg.edit_size, cfg.edit_size))
 
         oh = label_to_one_hot(label)
@@ -307,6 +317,7 @@ class HairEditorTPU:
     # --------------------------------------------------------------- jitting
     def _build_jitted(self):
         self.analyze = jax.jit(self._analyze)
+        self.analyze_tail = jax.jit(self._analyze_tail)
         self.parse = jax.jit(self._parse)
         self.decode_mask = jax.jit(self._decode_mask)
         self.encode_shape = jax.jit(self._encode_shape)
@@ -366,7 +377,17 @@ class HairEditorTPU:
                          (params, lat(b).shape, lat(b).face)))
             for isz in input_sizes:
                 imgN = jnp.zeros((b, isz, isz, 3), jnp.uint8)
-                jobs.append((self.analyze, (params, img256, imgN)))
+                label512 = jnp.zeros(
+                    (b, self.cfg.bisenet.input_size,
+                     self.cfg.bisenet.input_size), jnp.int32)
+                if b == 1:
+                    # the interactive path is parse + tail (two small
+                    # programs, see analyze_image)
+                    jobs.append((self.parse, (params, imgN)))
+                    jobs.append((self.analyze_tail,
+                                 (params, img256, label512)))
+                else:
+                    jobs.append((self.analyze, (params, img256, imgN)))
 
         def run_all():
             for f, a in jobs:
@@ -464,10 +485,19 @@ class HairEditorTPU:
         return self.generate_by_sean(np.asarray(face_codes[0]),
                                      np.asarray(hair_code), target_label)
 
-    def analyze_image(self, img_u8: np.ndarray):
-        """Host entry: arbitrary-size uint8 RGB -> analysis dict (batch 1)."""
+    def analyze_image(self, img_u8: np.ndarray, split: bool = True):
+        """Host entry: arbitrary-size uint8 RGB -> analysis dict (batch 1).
+
+        split=True runs parse and the analysis tail as two chained device
+        programs (no host sync in between): each compiles in a fraction of
+        the fused program's time, which bounds the interactive cold start.
+        """
         s = self.cfg.edit_size
         img = jnp.asarray(img_u8)[None]
         img256 = img if img.shape[1:3] == (s, s) else jnp.clip(jnp.round(
             resize_bilinear_nhwc(img.astype(jnp.float32), (s, s))), 0, 255)
-        return self.analyze(self.params, img256.astype(jnp.uint8), img)
+        img256 = img256.astype(jnp.uint8)
+        if split:
+            label512 = self.parse(self.params, img)
+            return self.analyze_tail(self.params, img256, label512)
+        return self.analyze(self.params, img256, img)
