@@ -316,17 +316,23 @@ class HairEditorTPU:
 
     # --------------------------------------------------------------- jitting
     def _build_jitted(self):
+        # WarmJit = jax.jit + optional pre-serialized executables for the
+        # interactive batch-1 signatures (scripts/seed_cache.py writes
+        # them; deserialization is ~0.1 s vs minutes of remote compile —
+        # see utils/aot_cache.py)
+        from ctrlhair_tpu.utils.aot_cache import WarmJit
         self.analyze = jax.jit(self._analyze)
-        self.analyze_tail = jax.jit(self._analyze_tail)
-        self.parse = jax.jit(self._parse)
-        self.decode_mask = jax.jit(self._decode_mask)
-        self.encode_shape = jax.jit(self._encode_shape)
+        self.analyze_tail = WarmJit('analyze_tail', self._analyze_tail)
+        self.parse = WarmJit('parse', self._parse)
+        self.decode_mask = WarmJit('decode_mask', self._decode_mask)
+        self.encode_shape = WarmJit('encode_shape', self._encode_shape)
         self.feature = jax.jit(self._feature)
         self.render = jax.jit(self._render)
         self.edit_render = jax.jit(self._edit_render)
         self.blend = jax.jit(self._blend)
-        self.output = jax.jit(self._output)
-        self.output_refresh = jax.jit(self._output_refresh)
+        self.output = WarmJit('output', self._output)
+        self.output_refresh = WarmJit('output_refresh',
+                                      self._output_refresh)
 
     # ------------------------------------------------------------ warm start
     def warm_start(self, batch_sizes: Tuple[int, ...] = (1,),

@@ -65,7 +65,9 @@ class BiSeNetTrainer:
         self.tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.sgd(lr, momentum=momentum))
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        from ctrlhair_tpu.utils.aot_cache import WarmJit
+        self.train_step = WarmJit('bisenet_train_step', self._train_step,
+                                  donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> BiSeNetTrainState:
         s = self.cfg.input_size

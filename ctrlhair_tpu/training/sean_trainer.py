@@ -96,7 +96,14 @@ class SEANTrainer:
         # TTUR betas (SPADE convention)
         self.tx_g = adam(lr_g, 0.0, 0.9)
         self.tx_d = adam(lr_d, 0.0, 0.9)
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        # WarmJit: the fused G/D(/VGG) step is the repo's largest program
+        # (~40 min through this environment's serial remote-compile
+        # service); scripts/seed_train_cache.py compiles it once and
+        # serializes the executable, after which fresh processes load it in
+        # ~0.1 s (see utils/aot_cache.py)
+        from ctrlhair_tpu.utils.aot_cache import WarmJit
+        self.train_step = WarmJit('sean_train_step', self._train_step,
+                                  donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> SEANTrainState:
         cfg = self.cfg

@@ -1,0 +1,561 @@
+# Training SOAK (VERDICT r2 item 5): the four-model reference training
+# story run at real scale on the best data constructible in this image.
+#
+# Data: the reference's 50 aligned sample portraits (/root/reference/imgs),
+# augmented x4 (mirror + 2 HSV jitters), with PSEUDO-LABELS from the
+# canonical FFHQ-aligned parse geometry (all reference samples are aligned
+# crops, so the canonical template's hair/face regions land on real hair
+# and face pixels — colour/variance stats and hair codes then carry REAL
+# image statistics, unlike round 2's random-parser noise masks).  No
+# trained checkpoints exist in this environment; this is the honest
+# maximum (ref data contract: dataset_info_ctrlhair/, README.md:95-107).
+#
+# Pipeline (ref: README.md:109-204 four trainings):
+#   A. stage+augment data, pseudo-labels, L0 prep chain, curliness lists
+#   B. predictors (rgb p004 + curliness p002), held-out metrics
+#   C. color_texture GAN, batch 128, schedules SCALED so every step-gated
+#      loss fires (lambda_rec_img renders through the frozen SEAN at the
+#      ref's subset=4, ref solver.py:270-299)
+#   D. shape mask VAE-GAN on a generated warp pool
+#   E. direction curation: score candidate latent directions by measurable
+#      semantics (hair area / length / bangs coverage; texture variance)
+#      and SHIP the chosen pickles + evidence grids
+#   F. artifacts: loss curves (csv+png), validation canvases, summary
+#
+# Usage: python scripts/train_soak.py [workdir] [ct_steps] [shape_steps]
+import dataclasses
+import json
+import os
+import pickle
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, 'artifacts', 'soak')
+
+t00 = time.time()
+
+
+def stamp(msg):
+    print(f'[{time.time() - t00:7.1f}s] {msg}', flush=True)
+
+
+# --------------------------------------------------------------- stage A
+
+def canonical_parse(size=256, mirror=False):
+    """CelebA-style pseudo-parse for an FFHQ-aligned portrait: skin ellipse,
+    hair cap, eyes/brows/nose/mouth at canonical aligned positions.  The
+    same geometry the landmark template encodes (ops/landmarks.py)."""
+    from ctrlhair_tpu.constants import PARSING_LABEL_LIST
+    L = {n: i for i, n in enumerate(PARSING_LABEL_LIST)}
+    lab = np.zeros((size, size), np.int32)
+
+    def ellipse(cx, cy, rx, ry, value):
+        yy, xx = np.mgrid[0:size, 0:size]
+        m = (((xx - cx * size) / (rx * size)) ** 2
+             + ((yy - cy * size) / (ry * size)) ** 2) <= 1
+        lab[m] = value
+
+    cx, cy, fw, fh = 0.5, 0.54, 0.26, 0.34
+    ellipse(cx, cy - 0.06, fw * 1.35, fh * 1.22, L['hair'])
+    ellipse(cx, cy, fw, fh, L['skin_other'])
+    yy = np.arange(size)[:, None]
+    lab[(yy < 0.30 * size) & (lab == L['skin_other'])] = L['hair']
+    ex, ey = 0.45 * fw, cy - 0.30 * fh
+    ellipse(cx - ex, ey - 0.14 * fh, 0.22 * fw, 0.02 * fh, L['l_brow'])
+    ellipse(cx + ex, ey - 0.14 * fh, 0.22 * fw, 0.02 * fh, L['r_brow'])
+    ellipse(cx - ex, ey, 0.17 * fw, 0.05 * fh, L['l_eye'])
+    ellipse(cx + ex, ey, 0.17 * fw, 0.05 * fh, L['r_eye'])
+    ellipse(cx, cy + 0.05 * fh, 0.13 * fw, 0.22 * fh, L['nose'])
+    my = cy + 0.55 * fh
+    ellipse(cx, my - 0.03 * fh, 0.30 * fw, 0.045 * fh, L['u_lip'])
+    ellipse(cx, my + 0.03 * fh, 0.30 * fw, 0.045 * fh, L['l_lip'])
+    ellipse(cx, my, 0.24 * fw, 0.022 * fh, L['mouth'])
+    # neck + background stay 0/neck-free: background label is 0 already
+    if mirror:
+        lab = lab[:, ::-1].copy()
+    return lab
+
+
+def hsv_jitter(img, dh, dv, rng):
+    import cv2
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
+    hsv[..., 0] = (hsv[..., 0] + dh) % 180
+    hsv[..., 2] = np.clip(hsv[..., 2] + dv, 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+def stage_data(work):
+    from PIL import Image
+    src = '/root/reference/imgs'
+    names = sorted(f for f in os.listdir(src) if f.endswith('.png'))
+    rng = np.random.default_rng(0)
+    parse = canonical_parse()
+    parse_m = canonical_parse(mirror=True)
+    count = 0
+    for f in names:
+        ds, name = f.split('___', 1)
+        base = os.path.splitext(name)[0]
+        img = np.asarray(Image.open(os.path.join(src, f)).convert('RGB'))
+        img_dir = os.path.join(work, ds, 'images_256')
+        lab_dir = os.path.join(work, ds, 'label')
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(lab_dir, exist_ok=True)
+        variants = {
+            base: (img, parse),
+            base + '_m': (img[:, ::-1].copy(), parse_m),
+            base + '_j1': (hsv_jitter(img, int(rng.integers(10, 90)),
+                                      int(rng.integers(-40, 40)), rng),
+                           parse),
+            base + '_j2': (hsv_jitter(img, int(rng.integers(90, 170)),
+                                      int(rng.integers(-40, 40)), rng),
+                           parse),
+        }
+        for key, (im, la) in variants.items():
+            Image.fromarray(im).save(os.path.join(img_dir, key + '.png'))
+            Image.fromarray(la.astype(np.uint8)).save(
+                os.path.join(lab_dir, key + '.png'))
+            count += 1
+    return count
+
+
+def curliness_lists(work, catalog):
+    """Manual-label stand-in: hair-region Laplacian variance quantiles
+    (straight/smooth hair = low high-frequency energy).  Writes the
+    reference's manual_label/curliness/{-1,1,test_-1,test_1}.txt contract
+    (ref: dataset.py:82-87)."""
+    import cv2
+    from ctrlhair_tpu.constants import HAIR_IDX
+    scores = {}
+    for key in catalog.items:
+        img = cv2.imread(catalog.image_path(key))
+        lab = cv2.imread(catalog.label_path(key), cv2.IMREAD_GRAYSCALE)
+        hair = lab == HAIR_IDX
+        if hair.sum() < 100:
+            continue
+        gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY).astype(np.float32)
+        lapl = cv2.Laplacian(gray, cv2.CV_32F)
+        scores[key] = float(np.var(lapl[hair]))
+    keys = sorted(scores, key=scores.get)
+    n = len(keys) // 3
+    straight, curly = keys[:n], keys[-n:]
+    out = os.path.join(work, 'manual_label', 'curliness')
+    os.makedirs(out, exist_ok=True)
+    train = set(catalog.train_items)
+    for label, ks in (('-1', straight), ('1', curly)):
+        with open(os.path.join(out, f'{label}.txt'), 'w') as f:
+            f.write('\n'.join(k for k in ks if k in train))
+        with open(os.path.join(out, f'test_{label}.txt'), 'w') as f:
+            f.write('\n'.join(k for k in ks if k not in train))
+    return len(straight), len(curly)
+
+
+# --------------------------------------------------------------- plotting
+
+def plot_curves(metrics_rows, keys, path, title):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    steps = [r['step'] for r in metrics_rows]
+    for k in keys:
+        vals = [r.get(k) for r in metrics_rows]
+        if any(v is not None for v in vals):
+            ax.plot(steps, [v if v is not None else np.nan for v in vals],
+                    label=k, linewidth=1)
+    ax.set_xlabel('step')
+    ax.set_yscale('symlog')
+    ax.legend(fontsize=7, ncol=3)
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else '/tmp/ctrlhair_soak'
+    ct_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 25000
+    shape_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10000
+
+    import jax
+    import jax.numpy as jnp
+    from ctrlhair_tpu.config import (
+        ColorTextureConfig, PipelineConfig, ShapeConfig,
+        curliness_predictor_config, rgb_predictor_config)
+    from ctrlhair_tpu.data import prep
+    from ctrlhair_tpu.data.catalog import DataCatalog
+    from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+
+    os.makedirs(ART, exist_ok=True)
+    summary = {'work': work, 'ct_steps': ct_steps,
+               'shape_steps': shape_steps}
+
+    # ---------------- A: data
+    n = stage_data(work)
+    stamp(f'staged {n} augmented images with pseudo-labels')
+    editor = HairEditorTPU(PipelineConfig(), seed=0)
+    datasets = sorted(d for d in os.listdir(work)
+                      if os.path.isdir(os.path.join(work, d, 'images_256')))
+    catalog = DataCatalog(work, datasets, filter_female_and_frontal=False)
+    stamp(f'catalog: {len(catalog.items)} items, '
+          f'{len(catalog.train_items)} train')
+    codes = prep.compute_sean_codes(
+        editor, catalog, os.path.join(work, 'sean_code_dict.pkl'),
+        batch_size=8)
+    prep.compute_color_stats(
+        catalog, os.path.join(work, 'rgb_stat_dict.pkl'),
+        os.path.join(work, 'hsv_stat_dict_ordered.pkl'))
+    prep.compute_color_variance(
+        catalog, os.path.join(work, 'color_var_stat_dict.pkl'))
+    prep.compute_mean_style_codes(codes,
+                                  os.path.join(work, 'mean_style_code'))
+    ns, nc = curliness_lists(work, catalog)
+    stamp(f'prep done; curliness lists: {ns} straight / {nc} curly')
+
+    # ---------------- B: predictors
+    from ctrlhair_tpu.data.color_texture_dataset import ColorTextureDataset
+    from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+
+    ct_cfg = dataclasses.replace(
+        ColorTextureConfig(),
+        total_step=ct_steps,
+        # scale the reference's step-gated schedules into this run so every
+        # branch fires (ref config.py:27-35: rec_img on at 600k of 650k)
+        lambda_rec_img={0: 0.0, int(ct_steps * 0.8): 1000.0},
+    )
+    dataset = ColorTextureDataset(ct_cfg, work, catalog=catalog,
+                                  datasets=datasets)
+    stamp(f'ct dataset: {len(dataset.train_keys)} train / '
+          f'{len(dataset.test_keys)} test')
+
+    pred_params = {}
+    pred_metrics = {}
+    for which, cfg_fn in (('rgb', rgb_predictor_config),
+                          ('curliness', curliness_predictor_config)):
+        pcfg = dataclasses.replace(cfg_fn(), total_step=2000)
+        tr = PredictorTrainer(pcfg)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(1)
+        rows = []
+        for step in range(pcfg.total_step):
+            if which == 'rgb':
+                b = dataset.training_batch(pcfg.total_batch_size)
+                batch = {'code': jnp.asarray(b['code']),
+                         'rgb_mean': jnp.asarray(b['rgb_mean']),
+                         'pca_std': jnp.asarray(b['pca_std'])}
+            else:
+                b = dataset.curliness_batch(pcfg.total_batch_size)
+                batch = {'code': jnp.asarray(b['code']),
+                         'curliness_label':
+                             jnp.asarray(b['curliness_label'])}
+            state, m = tr.train_step(state, batch,
+                                     jax.random.PRNGKey(step))
+            if step % 200 == 0 or step == pcfg.total_step - 1:
+                rows.append({'step': step,
+                             **{k: float(v) for k, v in m.items()}})
+        tb = dataset.test_batch(64)
+        if which == 'curliness':
+            tb = dataset.curliness_batch(64)
+        test_m = tr.eval_metrics(state.model.params, state.stats, {
+            k: jnp.asarray(v) for k, v in tb.items() if k != 'items'})
+        pred_metrics[which] = {k: float(v) for k, v in test_m.items()}
+        variables = dict(state.model.params)
+        if jax.tree_util.tree_leaves(state.stats):
+            variables['batch_stats'] = state.stats
+        pred_params[which] = variables
+        out_dir = os.path.join(work, 'model_trained',
+                               f'{which}_predictor', 'checkpoints')
+        save_checkpoint(out_dir, jax.tree_util.tree_map(
+            np.asarray, pred_params[which]), pcfg.total_step)
+        stamp(f'predictor[{which}] trained: held-out {pred_metrics[which]}')
+    summary['predictor_metrics'] = pred_metrics
+
+    # ---------------- C: color_texture GAN
+    from ctrlhair_tpu.constants import HAIR_IDX
+    from ctrlhair_tpu.training.color_texture_trainer import (
+        ColorTextureTrainer)
+
+    # preload full [19,512] codes + labels + images for the rec_img subset
+    full_codes = {k: np.asarray(v, np.float32)
+                  for k, v in codes.items()}
+    import cv2
+    img_cache, lab_cache = {}, {}
+    for k in dataset.train_keys:
+        img_cache[k] = (cv2.cvtColor(cv2.imread(catalog.image_path(k)),
+                                     cv2.COLOR_BGR2RGB).astype(np.float32)
+                        / 127.5 - 1.0)
+        la = cv2.imread(catalog.label_path(k), cv2.IMREAD_GRAYSCALE)
+        lab_cache[k] = cv2.resize(la, (256, 256),
+                                  interpolation=cv2.INTER_NEAREST
+                                  ).astype(np.int32)
+
+    trainer = ColorTextureTrainer(
+        ct_cfg, sean=editor.sean, sean_params=editor.params['sean'],
+        rec_img_subset=4)
+    state, _ = trainer.init_state(jax.random.PRNGKey(0))
+    frozen_preds = {'rgb': pred_params['rgb'],
+                    'curliness': pred_params['curliness']}
+
+    def ct_batch(step):
+        b = dataset.training_batch(ct_cfg.total_batch_size)
+        items = b.pop('items')
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        sub = items[:4]
+        batch['sean_code'] = jnp.asarray(
+            np.stack([full_codes[k] for k in sub]))
+        batch['label'] = jnp.asarray(np.stack([lab_cache[k] for k in sub]))
+        batch['image'] = jnp.asarray(np.stack([img_cache[k] for k in sub]))
+        return batch
+
+    rows = []
+    finite_trips = 0
+    ckpt_dir = os.path.join(work, 'model_trained', 'color_texture',
+                            'checkpoints')
+    t0 = time.time()
+    for step in range(ct_steps):
+        state, m = trainer.train_step(state, ct_batch(step), frozen_preds,
+                                      jax.random.PRNGKey(step))
+        if step == 0:
+            stamp(f'ct train_step compiled+first run in '
+                  f'{time.time() - t0:.1f}s')
+        if not bool(m['finite']):
+            finite_trips += 1
+        if step % 250 == 0 or step == ct_steps - 1:
+            row = {'step': step}
+            row.update({k: float(v) for k, v in m.items()})
+            rows.append(row)
+            if step % 2500 == 0:
+                stamp(f'ct step {step}: g={row.get("g_total"):.3f} '
+                      f'd={row.get("d_total"):.3f} '
+                      f'rec_img={row.get("g/lambda_rec_img", float("nan"))}')
+        if step % 5000 == 4999 or step == ct_steps - 1:
+            save_checkpoint(ckpt_dir, jax.tree_util.tree_map(
+                np.asarray, {'gen': state.gen.params,
+                             'dis': state.dis.params}), step + 1,
+                max_keep=3)
+    dt = time.time() - t0
+    stamp(f'ct: {ct_steps} steps in {dt:.0f}s '
+          f'({ct_steps / dt:.1f} steps/s), finite-guard trips: '
+          f'{finite_trips}')
+    summary['ct'] = {'steps': ct_steps, 'seconds': round(dt, 1),
+                     'steps_per_sec': round(ct_steps / dt, 2),
+                     'finite_trips': finite_trips,
+                     'final': rows[-1]}
+    with open(os.path.join(ART, 'ct_losses.json'), 'w') as f:
+        json.dump(rows, f)
+    plot_curves(rows, ['g_total', 'd_total', 'dz_total',
+                       'g/lambda_rec', 'g/lambda_rgb', 'g/lambda_pca_std',
+                       'g/lambda_cls_curliness', 'g/lambda_rec_img'],
+                os.path.join(ART, 'ct_losses.png'),
+                f'color_texture GAN soak ({ct_steps} steps, batch '
+                f'{ct_cfg.total_batch_size})')
+
+    # keep the trained branch for curation
+    trained_ct_gen = jax.tree_util.tree_map(np.asarray, state.gen.params)
+    trained_ct_dis = jax.tree_util.tree_map(np.asarray, state.dis.params)
+
+    # ---------------- D: shape VAE-GAN on a generated warp pool
+    from ctrlhair_tpu.data.shape_dataset import (ShapeDataset,
+                                                 generate_warp_pool)
+    from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
+
+    pool_dir = os.path.join(work, 'shape_training_wrap_pool')
+    n_pool = generate_warp_pool(catalog, pool_dir, count=240,
+                                num_threads=4, seed=0)
+    stamp(f'warp pool: {n_pool} entries')
+
+    shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps)
+    sdataset = ShapeDataset(shape_cfg, work, catalog=catalog,
+                            datasets=datasets)
+    strainer = ShapeTrainer(shape_cfg)
+    sstate = strainer.init_state(jax.random.PRNGKey(0))
+    srows = []
+    s_ckpt = os.path.join(work, 'model_trained', 'shape', 'checkpoints')
+    t0 = time.time()
+    for step in range(shape_steps):
+        b = sdataset.training_batch(shape_cfg.total_batch_size)
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        sstate, m = strainer.train_step(sstate, batch,
+                                        jax.random.PRNGKey(step))
+        if step == 0:
+            stamp(f'shape train_step compiled+first run in '
+                  f'{time.time() - t0:.1f}s')
+        if step % 250 == 0 or step == shape_steps - 1:
+            srows.append({'step': step,
+                          **{k: float(v) for k, v in m.items()}})
+            if step % 2500 == 0:
+                stamp(f'shape step {step}: g={srows[-1]["g_total"]:.3f}')
+    dt = time.time() - t0
+    stamp(f'shape: {shape_steps} steps in {dt:.0f}s '
+          f'({shape_steps / dt:.1f} steps/s)')
+    summary['shape'] = {'steps': shape_steps, 'seconds': round(dt, 1),
+                        'steps_per_sec': round(shape_steps / dt, 2),
+                        'final': srows[-1]}
+    save_checkpoint(s_ckpt, jax.tree_util.tree_map(
+        np.asarray, {'gen': sstate.gen.params}), shape_steps, max_keep=2)
+    with open(os.path.join(ART, 'shape_losses.json'), 'w') as f:
+        json.dump(srows, f)
+    plot_curves(srows, ['g_total', 'd_total', 'dz_total',
+                        'g/lambda_hair', 'g/lambda_face', 'g/lambda_kl',
+                        'g/lambda_self_rec'],
+                os.path.join(ART, 'shape_losses.png'),
+                f'shape VAE-GAN soak ({shape_steps} steps, batch '
+                f'{shape_cfg.total_batch_size})')
+    trained_shape = jax.tree_util.tree_map(np.asarray, sstate.gen.params)
+
+    # ---------------- E: load trained branches + curate directions
+    from ctrlhair_tpu.pipeline.backend import Backend
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        random_orthogonal_direction, save_direction)
+    from ctrlhair_tpu.utils.image import read_rgb, write_rgb
+
+    editor.params = dict(editor.params, ct_gen=trained_ct_gen,
+                         ct_dis=trained_ct_dis, shape=trained_shape,
+                         rgb_pred=pred_params['rgb'],
+                         curliness_pred=pred_params['curliness'])
+    editor.load_style_fallback(os.path.join(work, 'mean_style_code',
+                                            'median'))
+    with open(os.path.join(work, 'hsv_stat_dict_ordered.pkl'), 'rb') as f:
+        hsv_table = pickle.load(f)
+    be = Backend(blending=True, cfg=editor.cfg, editor=editor,
+                 hsv_table=hsv_table)
+    src = '/root/reference/imgs'
+    names = sorted(f for f in os.listdir(src) if f.endswith('.png'))
+    be.set_input_img(read_rgb(os.path.join(src, names[0])))
+
+    # shape directions: score candidates by geometric semantics of the
+    # decoded mask sweep (hair area = volume, lowest hair row = length,
+    # forehead coverage = bangs) — a measurable stand-in for the
+    # reference's manual grid curation (ref: script_find_direction.py)
+    base_shape = be.cur_latent.shape
+    face_code = be.cur_latent.face
+    rng = np.random.default_rng(7)
+
+    def mask_stats(shape_vec):
+        m = np.asarray(editor.decode_mask(
+            editor.params, jnp.asarray(shape_vec, jnp.float32),
+            face_code))[0]
+        hair = m == HAIR_IDX
+        area = hair.mean()
+        rows = np.nonzero(hair.any(axis=1))[0]
+        length = (rows[-1] / m.shape[0]) if rows.size else 0.0
+        forehead = hair[int(0.30 * 256):int(0.42 * 256),
+                        int(0.35 * 256):int(0.65 * 256)].mean()
+        return np.array([area, length, forehead])
+
+    cands, scores = [], []
+    for i in range(24):
+        d = random_orthogonal_direction(16, [], rng)
+        cands.append(d)
+        lo = mask_stats(base_shape - 2.0 * d[None])
+        hi = mask_stats(base_shape + 2.0 * d[None])
+        scores.append(hi - lo)
+    scores = np.stack(scores)                    # [24,3] deltas
+    chosen, chosen_idx = [], []
+    for sem in (1, 0, 2):                        # length, volume, bangs
+        order = np.argsort(-np.abs(scores[:, sem]))
+        for idx in order:
+            if idx not in chosen_idx:
+                d = cands[idx] * np.sign(scores[idx, sem])
+                chosen.append(d)
+                chosen_idx.append(idx)
+                break
+    # 4th: largest remaining overall mover
+    rest = [i for i in range(len(cands)) if i not in chosen_idx]
+    idx = rest[int(np.argmax(np.abs(scores[rest]).sum(1)))]
+    chosen.append(cands[idx])
+    sem_names = ['length', 'volume', 'bangs', 'misc']
+    shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
+    shutil.rmtree(shape_dir_out, ignore_errors=True)
+    for i, d in enumerate(chosen):
+        save_direction(shape_dir_out, i, d.astype(np.float32))
+    summary['shape_dirs'] = {
+        sem_names[i]: [round(float(v), 4)
+                       for v in scores[chosen_idx[i]]]
+        for i in range(3)}
+    stamp(f'shape directions curated: '
+          f'{[(sem_names[i], chosen_idx[i]) for i in range(3)]}')
+
+    # texture directions: 2 orthogonal candidates maximising rendered hair
+    # pixel variance response
+    tex_cands = []
+    rng2 = np.random.default_rng(11)
+    base = be.cur_latent
+
+    def tex_response(d):
+        outs = []
+        for v in (-2.0, 2.0):
+            lat = base.replace(texture=base.texture + v * d[None])
+            img = np.asarray(be.output(lat)).astype(np.float32)
+            outs.append(img)
+        return float(np.abs(outs[1] - outs[0]).mean())
+
+    pool = [random_orthogonal_direction(8, tex_cands, rng2)
+            for _ in range(8)]
+    responses = [tex_response(d) for d in pool]
+    order = np.argsort(-np.asarray(responses))
+    tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
+    shutil.rmtree(tex_dir_out, ignore_errors=True)
+    for i, idx in enumerate(order[:2]):
+        save_direction(tex_dir_out, i, pool[idx].astype(np.float32))
+    summary['texture_dir_response'] = [round(responses[i], 3)
+                                       for i in order[:2]]
+    stamp(f'texture directions curated (responses '
+          f'{[round(responses[i], 3) for i in order[:2]]})')
+
+    # ---------------- F: validation canvases + summary
+    from ctrlhair_tpu.training import validation as V
+    res = editor.analyze_image(np.asarray(be.input_img))
+    lat = res['latent']
+    base_data = {'noise_curliness': lat.curliness,
+                 'rgb_mean': lat.rgb_mean(), 'pca_std': lat.pca_std}
+    V.ct_latent_sweep_canvas(
+        editor, editor.params['ct_gen'], res['sean_codes'], res['label'],
+        base_data, out_path=os.path.join(ART, 'ct_sweep_canvas.png'),
+        values=(-2.0, -1.0, 0.0, 1.0, 2.0))
+    V.shape_sweep_canvas(
+        editor, editor.params['shape'], lat.face, lat.shape,
+        out_path=os.path.join(ART, 'shape_sweep_canvas.png'),
+        values=(-2.0, 0.0, 2.0), dims=(0, 1, 2, 3))
+
+    # slider grids for the SHIPPED directions (evidence for curation)
+    from ctrlhair_tpu.pipeline.direction_finder import render_candidate_grids
+    # re-create the backend so it picks up the shipped pickles
+    be2 = Backend(blending=True, cfg=editor.cfg, editor=editor,
+                  hsv_table=hsv_table)
+    be2.set_input_img(read_rgb(os.path.join(src, names[0])))
+    grid_dir = os.path.join(ART, 'direction_grids')
+    os.makedirs(grid_dir, exist_ok=True)
+    for i in range(4):
+        imgs = []
+        for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            be2.set_input_img(read_rgb(os.path.join(src, names[0])))
+            be2.change_shape(v, i)
+            imgs.append(be2.output())
+        write_rgb(os.path.join(grid_dir, f'shape_dir{i}.png'),
+                  np.concatenate(imgs, axis=1))
+    for i in range(2):
+        imgs = []
+        for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            be2.set_input_img(read_rgb(os.path.join(src, names[0])))
+            be2.change_texture(v, i)
+            imgs.append(be2.output())
+        write_rgb(os.path.join(grid_dir, f'texture_dir{i}.png'),
+                  np.concatenate(imgs, axis=1))
+
+    summary['total_seconds'] = round(time.time() - t00, 1)
+    with open(os.path.join(ART, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=2)
+    stamp(f'SOAK DONE -> {ART}')
+    print('SOAK PASS', flush=True)
+
+
+if __name__ == '__main__':
+    main()
