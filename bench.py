@@ -41,24 +41,20 @@ def main():
     n_attempts = int(os.environ.get('BENCH_READY_ATTEMPTS', '3'))
     here = os.path.dirname(os.path.abspath(__file__))
     script = os.path.join(here, 'scripts', 'interactive_ready.py')
-    # one-time deployment step: serialize the interactive executables if no
-    # warm artifacts exist yet (scripts/seed_cache.py; reported separately).
-    # Checked WITHOUT importing aot_cache: that would initialise the TPU
-    # client in this process before the attempt subprocesses run.
-    import glob
-    warm = os.environ.get('CTRLHAIR_WARM_DIR')
-    warm_exists = (os.path.isdir(warm) if warm
-                   else bool(glob.glob('/tmp/ctrlhair_warm_*')))
-    if not warm_exists:
-        t0 = time.time()
-        try:
-            subprocess.run([sys.executable,
-                            os.path.join(here, 'scripts', 'seed_cache.py')],
-                           capture_output=True, text=True, check=True)
-            seed_s = time.time() - t0
-            log(f'seed_cache (one-time compile+serialize): {seed_s:.1f}s')
-        except Exception as e:   # noqa: BLE001
-            log(f'seed_cache failed after {time.time() - t0:.0f}s: {e!r}')
+    # one-time deployment step: serialize the interactive executables
+    # (scripts/seed_cache.py skips every program whose artifact is still
+    # valid, so a warmed machine pays seconds here; reported separately).
+    # Run as a subprocess so this process doesn't touch the device before
+    # the attempt subprocesses run.
+    t0 = time.time()
+    try:
+        subprocess.run([sys.executable,
+                        os.path.join(here, 'scripts', 'seed_cache.py')],
+                       capture_output=True, text=True, check=True)
+        seed_s = time.time() - t0
+        log(f'seed_cache (skip-if-valid compile+serialize): {seed_s:.1f}s')
+    except Exception as e:   # noqa: BLE001
+        log(f'seed_cache failed after {time.time() - t0:.0f}s: {e!r}')
     for i in range(n_attempts):
         t0 = time.time()
         try:

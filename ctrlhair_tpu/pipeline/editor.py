@@ -86,10 +86,21 @@ class HairEditorTPU:
         self.params = None
         self._build_jitted()
         self._warm_threads = []
+        if params is None:
+            # warm-start: a saved initialised param tree skips the seven
+            # init-program compiles (scripts/seed_cache.py writes it)
+            from ctrlhair_tpu.utils.aot_cache import load_params
+            params = load_params(self.params_cache_name(seed))
         self.params = params if params is not None else self.init_params(seed)
         if warm_batches:
             self._warm_threads = self.warm_start(
                 batch_sizes=warm_batches, block=False)
+
+    def params_cache_name(self, seed: int) -> str:
+        """Warm-artifact key for the initialised params: seed + config."""
+        import hashlib
+        cfg_h = hashlib.sha1(repr(self.cfg).encode()).hexdigest()[:8]
+        return f'editor_params_seed{seed}_{cfg_h}'
 
     def join_warm(self) -> None:
         for t in self._warm_threads:
@@ -211,7 +222,8 @@ class HairEditorTPU:
 
         img_f = img_u8_256.astype(jnp.float32) / 127.5 - 1.0
         sean_codes = self.sean.apply(params['sean'], img_f, label,
-                                     method=self.sean.encode)
+                                     method=self.sean.encode
+                                     ).astype(jnp.float32)
         hair_feature = sean_codes[:, HAIR_IDX]
 
         color = self.rgb_pred.apply(params['rgb_pred'],
@@ -220,10 +232,14 @@ class HairEditorTPU:
         hsv = rgb_to_hsv_u8(rgb_u8).astype(jnp.float32)
 
         enc = self.ct_dis.apply(params['ct_dis'], {'code': hair_feature})
-        latent = Latent(hsv=hsv, pca_std=color['pca_std'],
-                        curliness=enc['noise_curliness'],
-                        texture=enc['noise'], shape=shape_code,
-                        face=face_code)
+        # public latent dtype is f32 regardless of compute_dtype: edits and
+        # warm-start executable signatures (utils/aot_cache.py) need ONE
+        # stable dtype across analyze -> edit -> output
+        f32 = lambda x: x.astype(jnp.float32)
+        latent = Latent(hsv=f32(hsv), pca_std=f32(color['pca_std']),
+                        curliness=f32(enc['noise_curliness']),
+                        texture=f32(enc['noise']), shape=f32(shape_code),
+                        face=f32(face_code))
         return {
             'label512': label512, 'label': label, 'regen_label': regen_label,
             'sean_codes': sean_codes, 'hair_feature': hair_feature,
@@ -245,7 +261,9 @@ class HairEditorTPU:
             params['shape'], hair, method=self.shape_gen.encode_hair)
         face_code = self.shape_gen.apply(
             params['shape'], face, method=self.shape_gen.encode_face)
-        return shape_code, face_code
+        # f32 at the boundary: see _analyze_tail's latent note
+        return (shape_code.astype(jnp.float32),
+                face_code.astype(jnp.float32))
 
     def _feature(self, params, latent: Latent) -> jnp.ndarray:
         """latent -> 512-d hair style code (ref: ui/backend.py:161-169)."""

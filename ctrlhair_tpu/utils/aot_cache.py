@@ -47,6 +47,29 @@ def _path(name: str) -> str:
     return os.path.join(warm_dir(), f'{name}.exe.pkl')
 
 
+_CODE_FP: Optional[str] = None
+
+
+def code_fingerprint() -> str:
+    """Content hash of the package sources: any source change invalidates
+    saved executables (a stale compiled program silently diverging from the
+    code would be far worse than a re-seed)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for root, _, files in sorted(os.walk(pkg)):
+            for fn in sorted(files):
+                if fn.endswith('.py'):
+                    p = os.path.join(root, fn)
+                    h.update(p.encode())
+                    with open(p, 'rb') as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
 def save_executable(name: str, compiled, args: Tuple[Any, ...]) -> str:
     """Serialize a jax AOT-compiled executable + its call signature."""
     from jax.experimental.serialize_executable import serialize
@@ -58,6 +81,7 @@ def save_executable(name: str, compiled, args: Tuple[Any, ...]) -> str:
         pickle.dump({
             'jax': jax.__version__,
             'backend': jax.default_backend(),
+            'code': code_fingerprint(),
             'sig': _signature(args),
             'payload': payload,
             'in_tree': in_tree,
@@ -76,12 +100,42 @@ def load_executable(name: str, args: Tuple[Any, ...]):
             d = pickle.load(f)
         if (d['jax'] != jax.__version__
                 or d['backend'] != jax.default_backend()
+                or d.get('code') != code_fingerprint()
                 or d['sig'] != _signature(args)):
             return None
         from jax.experimental.serialize_executable import (
             deserialize_and_load)
         return deserialize_and_load(d['payload'], d['in_tree'],
                                     d['out_tree'])
+    except Exception:
+        return None
+
+
+def save_params(name: str, params) -> str:
+    """Persist an initialised parameter pytree (host numpy) so fresh
+    processes skip the init-program compiles entirely."""
+    import numpy as np
+    os.makedirs(warm_dir(), exist_ok=True)
+    path = os.path.join(warm_dir(), f'{name}.params.pkl')
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    with open(path, 'wb') as f:
+        pickle.dump({'jax': jax.__version__, 'code': code_fingerprint(),
+                     'tree': host}, f)
+    return path
+
+
+def load_params(name: str):
+    path = os.path.join(warm_dir(), f'{name}.params.pkl')
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, 'rb') as f:
+            d = pickle.load(f)
+        if d['jax'] != jax.__version__ \
+                or d.get('code') != code_fingerprint():
+            return None
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(jnp.asarray, d['tree'])
     except Exception:
         return None
 

@@ -22,14 +22,16 @@ def main():
 
     from ctrlhair_tpu.config import PipelineConfig
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
-    from ctrlhair_tpu.pipeline.latent import Latent
     from ctrlhair_tpu.utils import aot_cache
 
     t0 = time.time()
     cfg = PipelineConfig()
     editor = HairEditorTPU(cfg, seed=0)
+    ppath = aot_cache.save_params(editor.params_cache_name(0),
+                                  editor.params)
     print(f'init: {time.time() - t0:.1f}s  warm dir: '
-          f'{aot_cache.warm_dir()}', flush=True)
+          f'{aot_cache.warm_dir()}  params -> {ppath} '
+          f'({os.path.getsize(ppath) / 1e6:.0f} MB)', flush=True)
 
     s = cfg.edit_size
     params = editor.params
@@ -37,25 +39,14 @@ def main():
     label512 = jnp.zeros((1, cfg.bisenet.input_size,
                           cfg.bisenet.input_size), jnp.int32)
     label = jnp.zeros((1, s, s), jnp.int32)
-    codes = jnp.zeros((1, 19, cfg.sean.style_dim), jnp.float32)
-    lat = Latent(hsv=jnp.zeros((1, 3)), pca_std=jnp.zeros((1, 1)),
-                 curliness=jnp.zeros((1, 1)),
-                 texture=jnp.zeros((1, cfg.color_texture.noise_dim)),
-                 shape=jnp.zeros((1, cfg.shape.hair_dim)),
-                 face=jnp.zeros((1, cfg.shape.face_dim)))
 
-    programs = {
-        'parse': (editor.parse, (params, img256)),
-        'analyze_tail': (editor.analyze_tail, (params, img256, label512)),
-        'output': (editor.output, (params, codes, lat, img256, label,
-                                   label)),
-        'output_refresh': (editor.output_refresh,
-                           (params, codes, lat, img256, label)),
-        'decode_mask': (editor.decode_mask, (params, lat.shape, lat.face)),
-        'encode_shape': (editor.encode_shape, (params, label)),
-    }
-    for name, (wj, args) in programs.items():
+    force = '--force' in sys.argv
+
+    def seed(name, wj, args):
         t0 = time.time()
+        if not force and aot_cache.load_executable(name, args) is not None:
+            print(f'{name}: valid artifact present, skipped', flush=True)
+            return
         compiled = wj.lower(*args).compile()
         path = aot_cache.save_executable(name, compiled, args)
         # run once to validate the executable end to end
@@ -63,6 +54,21 @@ def main():
         print(f'{name}: compiled+serialized+ran in {time.time() - t0:.1f}s '
               f'-> {path} ({os.path.getsize(path) / 1e6:.1f} MB)',
               flush=True)
+
+    seed('parse', editor.parse, (params, img256))
+    seed('analyze_tail', editor.analyze_tail, (params, img256, label512))
+    # derive the edit-program seed arguments from a REAL analysis pass so
+    # every dtype matches the values the interactive path will feed
+    # (e.g. latent codes are cast to f32 at the analyze boundary)
+    res = editor.analyze_image(np.zeros((s, s, 3), np.uint8))
+    codes, lat = res['sean_codes'], res['latent']
+    seed('output', editor.output,
+         (params, codes, lat, img256, res['label'], res['label']))
+    seed('output_refresh', editor.output_refresh,
+         (params, codes, lat, img256, res['label']))
+    seed('decode_mask', editor.decode_mask,
+         (params, lat.shape, lat.face))
+    seed('encode_shape', editor.encode_shape, (params, res['label']))
     print('SEED DONE', flush=True)
 
 
