@@ -243,25 +243,13 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     device dispatch when given.
     """
     size = hair_parsing.shape[0]
-    hair_mask = (np.asarray(hair_parsing) == HAIR_IDX).astype(np.float32)
     hair_lm = np.asarray(hair_lm_81, np.float64) * size
     face_lm = np.asarray(face_lm_81, np.float64) * size
 
     sel = CHOSEN_LANDMARKS
-    src = hair_lm[sel]
-    dst = face_lm[sel]
-
-    # pad the working domain and smear border-touching hair outward
-    # (ref: mask_adaptor.py:119-131)
+    src = hair_lm[sel] + BG_PAD
+    dst = face_lm[sel] + BG_PAD
     pad = BG_PAD
-    total = np.zeros((size + 2 * pad, size + 2 * pad), np.float32)
-    total[pad:size + pad, pad:size + pad] = hair_mask
-    total[pad - 10:pad, :][:, total[pad, :] == 1] = 1
-    total[-pad:-pad + 10, :][:, total[-1 - pad, :] == 1] = 1
-    total[total[:, pad] == 1, pad - 10:pad] = 1
-    total[total[:, -1 - pad] == 1, -pad:-pad + 10] = 1
-    src = src + pad
-    dst = dst + pad
     big = size + 2 * pad
 
     verts_src, verts_dst, tris = build_warp_mesh(src, dst, big, big,
@@ -286,13 +274,19 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
             jnp.asarray(uv), big, big)
     else:
-        # rasterize + UV gather + threshold + crop + composite overlay
-        # (naive_transfer semantics) as ONE device dispatch + ONE sync
+        # pad+smear + rasterize + UV gather + threshold + crop + composite
+        # overlay (naive_transfer semantics) as ONE device dispatch + ONE
+        # sync.  The parsings stay device-resident (the Backend caches the
+        # parse outputs on device); only the small mesh arrays upload per
+        # call — re-uploading the padded 672px mask through the device
+        # relay dominated the whole transfer (measured 495 ms/call).
         return np.asarray(_rasterize_composite(
             jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
-            jnp.asarray(uv), jnp.asarray(total),
+            jnp.asarray(uv), jnp.asarray(hair_parsing, jnp.int32),
             jnp.asarray(face_parsing, jnp.int32), big, pad,
             out_size=out_size))
+    total = np.asarray(
+        _pad_smear(jnp.asarray(hair_parsing, jnp.int32), pad))
     warped = np.asarray(sample_uv(jnp.asarray(total), uv_map))
     # the reference truncates the bilinear-sampled float mask to uint8
     # (wrap_by_uv -> astype in hair_mask_transfer_wrap), keeping only
@@ -308,9 +302,36 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     return out
 
 
+def _pad_smear(hair_parsing: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Pad the hair mask by `pad` and smear border-touching hair 10px
+    outward (ref: mask_adaptor.py:119-131), all on device."""
+    s = hair_parsing.shape[0]
+    big = s + 2 * pad
+    hair = (hair_parsing == HAIR_IDX).astype(jnp.float32)
+    total = jnp.zeros((big, big), jnp.float32)
+    total = total.at[pad:pad + s, pad:pad + s].set(hair)
+    top = total[pad]
+    total = total.at[pad - 10:pad, :].set(
+        jnp.where(top[None, :] == 1, 1.0, total[pad - 10:pad, :]))
+    bot = total[big - 1 - pad]
+    total = total.at[big - pad:big - pad + 10, :].set(
+        jnp.where(bot[None, :] == 1, 1.0,
+                  total[big - pad:big - pad + 10, :]))
+    left = total[:, pad]
+    total = total.at[:, pad - 10:pad].set(
+        jnp.where(left[:, None] == 1, 1.0, total[:, pad - 10:pad]))
+    right = total[:, big - 1 - pad]
+    total = total.at[:, big - pad:big - pad + 10].set(
+        jnp.where(right[:, None] == 1, 1.0,
+                  total[:, big - pad:big - pad + 10]))
+    return total
+
+
 @functools.partial(jax.jit, static_argnames=('size', 'pad', 'out_size'))
-def _rasterize_composite(verts_dst, tris_pad, uv, total, face_parsing,
-                         size: int, pad: int, out_size: int = 0):
+def _rasterize_composite(verts_dst, tris_pad, uv, hair_parsing,
+                         face_parsing, size: int, pad: int,
+                         out_size: int = 0):
+    total = _pad_smear(hair_parsing, pad)
     uv_map = rasterize_uv(verts_dst, tris_pad, uv, size, size)
     # truncation semantics: only fully-interior pixels (value 1.0) count,
     # matching the reference's astype-uint8 of the sampled float mask
@@ -415,12 +436,14 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
             face512 = np.asarray(
                 editor.parse(editor.params, jnp.asarray(face_img)[None])[0])
     else:
-        hair512 = np.asarray(hair_parse512)
-        face512 = np.asarray(face_parse512)
-    hair_lm = (estimate_landmarks_81(hair512) if hair_lm81 is None
-               else np.asarray(hair_lm81))
-    face_lm = (estimate_landmarks_81(face512) if face_lm81 is None
-               else np.asarray(face_lm81))
+        # keep the cached parses device-resident: the warp dispatch consumes
+        # them directly, avoiding a readback+re-upload through the relay
+        hair512 = hair_parse512
+        face512 = face_parse512
+    hair_lm = (estimate_landmarks_81(np.asarray(hair512))
+               if hair_lm81 is None else np.asarray(hair_lm81))
+    face_lm = (estimate_landmarks_81(np.asarray(face512))
+               if face_lm81 is None else np.asarray(face_lm81))
     return hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,
                                    use_arap=use_arap,
                                    out_size=editor.cfg.edit_size)

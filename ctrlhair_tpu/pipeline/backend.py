@@ -99,8 +99,10 @@ class Backend:
         ref: wrap_codes/mask_adaptor.py:202-212)."""
         if self._lm81.get(key) is None and self._parse512.get(key) is not None:
             from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
-            self._parse512[key] = np.asarray(self._parse512[key])
-            self._lm81[key] = estimate_landmarks_81(self._parse512[key])
+            # one host readback for the landmark estimation; the parse
+            # itself stays device-resident for the warp dispatch
+            self._lm81[key] = estimate_landmarks_81(
+                np.asarray(self._parse512[key]))
         return self._lm81.get(key)
 
     def _resized256(self, img_rgb: np.ndarray) -> np.ndarray:
