@@ -26,17 +26,18 @@ def build_native(force: bool = False) -> bool:
     """Compile the native library with g++ (rebuilds when the source is
     newer than the built library). Returns True on success."""
     global _build_failed
-    src = os.path.join(_DIR, 'arap.cpp')
+    srcs = [os.path.join(_DIR, 'arap.cpp'),
+            os.path.join(_DIR, 'raster.cpp')]
     if os.path.exists(_LIB_PATH) and not force:
         try:
-            if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+            lib_m = os.path.getmtime(_LIB_PATH)
+            if all(lib_m >= os.path.getmtime(s) for s in srcs):
                 return True
         except OSError:     # source missing: keep the existing binary
             return True
     try:
         subprocess.run(
-            ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH,
-             os.path.join(_DIR, 'arap.cpp')],
+            ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH] + srcs,
             check=True, capture_output=True, timeout=120)
         _build_failed = False   # clear the latch on a successful (re)build
         return True
@@ -69,8 +70,58 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.rasterize_warp_composite.restype = ctypes.c_int
+        lib.rasterize_warp_composite.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         _lib = lib
         return _lib
+
+
+def rasterize_warp_composite(verts_dst: np.ndarray, tris: np.ndarray,
+                             uv: np.ndarray, total: np.ndarray,
+                             face_parsing: np.ndarray, pad: int,
+                             hair_idx: int, unknown_label: int,
+                             out_size: int = 0) -> np.ndarray | None:
+    """Host rasterize+sample+composite for one warp (see raster.cpp).
+
+    Returns the composite parsing, or None if the native lib is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    big = total.shape[0]
+    size = face_parsing.shape[0]
+    if big != size + 2 * pad:
+        return None
+    v = np.ascontiguousarray(verts_dst, np.float64)
+    t = np.ascontiguousarray(tris, np.int32)
+    u = np.ascontiguousarray(uv, np.float64)
+    tot = np.ascontiguousarray(total, np.float32)
+    face = np.ascontiguousarray(face_parsing, np.int32)
+    if v.ndim != 2 or v.shape[1] != 2 or u.shape != v.shape \
+            or t.ndim != 2 or t.shape[1] != 3:
+        return None
+    out_n = (out_size if out_size and out_size != size
+             and size % out_size == 0 else size)
+    out = np.empty((out_n, out_n), np.int32)
+    ret = lib.rasterize_warp_composite(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(v),
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(t),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        tot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), big,
+        face.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), size,
+        int(pad), int(hair_idx), int(unknown_label), int(out_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    if ret != 0:
+        return None
+    return out
 
 
 def arap_solve(verts: np.ndarray, tris: np.ndarray,

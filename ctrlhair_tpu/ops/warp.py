@@ -263,6 +263,22 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
     # my_arap texture coords + textureSampling, get_pixelValue.py:34-35)
     uv = (verts_src / big).astype(np.float32)
 
+    if os.environ.get('CTRLHAIR_HOST_RASTER', '1') == '1':
+        # DEFAULT: native host rasterize+sample+composite (raster.cpp).
+        # This op is latency-bound (~450k pixels visited once); a device
+        # dispatch through the TPU relay costs hundreds of ms of
+        # transfer+sync for ~10 ms of host work.  The reference also
+        # rasterizes on host (Cython mesh_core + cv2.remap).
+        from ctrlhair_tpu import native
+        hair_np = np.asarray(hair_parsing)
+        face_np = np.asarray(face_parsing)
+        total_np = _pad_smear_np(hair_np, pad)
+        out = native.rasterize_warp_composite(
+            verts_dst, tris, (verts_src / big), total_np, face_np, pad,
+            HAIR_IDX, UNKNOWN_LABEL, out_size)
+        if out is not None:
+            return out
+
     if os.environ.get('CTRLHAIR_PALLAS_RASTER', '0') == '1' \
             and jax.default_backend() not in ('cpu',):
         # alternative: the Pallas tiled rasteriser.  Measured slower end to
@@ -300,6 +316,19 @@ def hair_mask_transfer_warp(hair_parsing: np.ndarray,
         f = out.shape[0] // out_size
         out = out[::f, ::f]
     return out
+
+
+def _pad_smear_np(hair_parsing: np.ndarray, pad: int) -> np.ndarray:
+    """Host twin of _pad_smear (ref: mask_adaptor.py:119-131)."""
+    size = hair_parsing.shape[0]
+    hair = (hair_parsing == HAIR_IDX).astype(np.float32)
+    total = np.zeros((size + 2 * pad, size + 2 * pad), np.float32)
+    total[pad:size + pad, pad:size + pad] = hair
+    total[pad - 10:pad, :][:, total[pad, :] == 1] = 1
+    total[-pad:-pad + 10, :][:, total[-1 - pad, :] == 1] = 1
+    total[total[:, pad] == 1, pad - 10:pad] = 1
+    total[total[:, -1 - pad] == 1, -pad:-pad + 10] = 1
+    return total
 
 
 def _pad_smear(hair_parsing: jnp.ndarray, pad: int) -> jnp.ndarray:

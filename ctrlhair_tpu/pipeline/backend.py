@@ -57,6 +57,7 @@ class Backend:
         self._rng = np.random.default_rng(seed)
 
         self._parse512 = {}            # 'input'/'target' -> [512,512] label
+        self._parse512_np = {}         # host copies (filled with landmarks)
         self._lm81 = {}                # 'input'/'target' -> [81,2] or None
         self.input_img = None          # uint8 [256,256,3]
         self.target_img = None
@@ -99,10 +100,11 @@ class Backend:
         ref: wrap_codes/mask_adaptor.py:202-212)."""
         if self._lm81.get(key) is None and self._parse512.get(key) is not None:
             from ctrlhair_tpu.ops.landmarks import estimate_landmarks_81
-            # one host readback for the landmark estimation; the parse
-            # itself stays device-resident for the warp dispatch
-            self._lm81[key] = estimate_landmarks_81(
-                np.asarray(self._parse512[key]))
+            # ONE host readback per image: the np copy feeds both the
+            # landmark estimation and the host rasterizer across every
+            # subsequent transfer
+            self._parse512_np[key] = np.asarray(self._parse512[key])
+            self._lm81[key] = estimate_landmarks_81(self._parse512_np[key])
         return self._lm81.get(key)
 
     def _resized256(self, img_rgb: np.ndarray) -> np.ndarray:
@@ -222,13 +224,16 @@ class Backend:
             from ctrlhair_tpu.ops.warp import warp_hair_mask_between_images
             # backend inputs are already aligned by set_input_img, so the
             # 1024 crop stage is skipped (ref: ui/backend.py:275 need_crop=False)
+            lm_t = self._landmarks81('target')   # also fills _parse512_np
+            lm_i = self._landmarks81('input')
             wt = warp_hair_mask_between_images(
                 self.target_img, self.input_img,
                 editor=self.editor, need_crop=False,
-                hair_parse512=self._parse512.get('target'),
-                face_parse512=self._parse512.get('input'),
-                hair_lm81=self._landmarks81('target'),
-                face_lm81=self._landmarks81('input'))
+                hair_parse512=self._parse512_np.get(
+                    'target', self._parse512.get('target')),
+                face_parse512=self._parse512_np.get(
+                    'input', self._parse512.get('input')),
+                hair_lm81=lm_t, face_lm81=lm_i)
             self.warp_target = wt
             shape_code, face_code = self.editor.encode_shape(
                 self.editor.params, jnp.asarray(wt, jnp.int32)[None])

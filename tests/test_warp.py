@@ -115,3 +115,43 @@ def test_hair_mask_transfer_warp_end_to_end():
     ys, xs = np.nonzero(hair_out)
     src_cx = (100 + 419) / 2
     assert xs.mean() > src_cx + 5   # hair moved right with the landmarks
+
+
+def test_native_raster_matches_xla_path():
+    """The default host rasterizer (native/raster.cpp) must reproduce the
+    XLA chunked-einsum path pixel-for-pixel up to boundary rounding."""
+    import os
+    from ctrlhair_tpu import native
+
+    if native._load() is None:
+        import pytest
+        pytest.skip('native lib unavailable')
+    size = 512
+    hair_parsing = np.zeros((size, size), np.int32)
+    hair_parsing[40:260, 90:430] = HAIR_IDX
+    face_parsing = np.ones((size, size), np.int32)
+    face_parsing[200:380, 150:350] = HAIR_IDX    # old hair to uncover
+    from ctrlhair_tpu.ops.landmarks import canonical_template_81
+    lm = canonical_template_81()
+    lm2 = lm.copy()
+    lm2[:, 0] += 0.04
+    lm2[:, 1] -= 0.02
+    env = os.environ
+    old = env.get('CTRLHAIR_HOST_RASTER')
+    try:
+        env['CTRLHAIR_HOST_RASTER'] = '1'
+        out_native = hair_mask_transfer_warp(hair_parsing, face_parsing,
+                                             lm, lm2, use_arap=False,
+                                             out_size=256)
+        env['CTRLHAIR_HOST_RASTER'] = '0'
+        out_xla = hair_mask_transfer_warp(hair_parsing, face_parsing,
+                                          lm, lm2, use_arap=False,
+                                          out_size=256)
+    finally:
+        if old is None:
+            env.pop('CTRLHAIR_HOST_RASTER', None)
+        else:
+            env['CTRLHAIR_HOST_RASTER'] = old
+    assert out_native.shape == out_xla.shape == (256, 256)
+    agree = np.mean(out_native == np.asarray(out_xla))
+    assert agree >= 0.999, f'native vs XLA agreement {agree:.5f}'
