@@ -83,13 +83,24 @@ def main():
     print(f'mesh build + native ARAP: {arap_ms:.1f} ms '
           f'({len(verts_src)} verts, {len(tris)} tris)', flush=True)
 
-    tris_pad = np.full((W.MAX_TRIS, 3), -1, np.int32)
-    tris_pad[:tris.shape[0]] = tris
-    hair_mask = np.zeros((big, big), np.float32)
-    hair_mask[pad:-pad, pad:-pad] = (hair512 == 13)
-    uv = (verts_src / big).astype(np.float32)
-    args = (jnp.asarray(verts_dst, jnp.float32), jnp.asarray(tris_pad),
-            jnp.asarray(uv), jnp.asarray(hair_mask),
+    from ctrlhair_tpu import native
+    total_np = W._pad_smear_np(hair512, pad)
+    uv = (verts_src / big)
+    native.rasterize_warp_composite(verts_dst, tris, uv, total_np,
+                                    face512, pad, 13, 255, cfg.edit_size)
+    t0 = time.time()
+    for _ in range(reps):
+        native.rasterize_warp_composite(verts_dst, tris, uv, total_np,
+                                        face512, pad, 13, 255,
+                                        cfg.edit_size)
+    print(f'native rasterize+sample+composite (host): '
+          f'{(time.time() - t0) / reps * 1000:.1f} ms', flush=True)
+
+    args = (jnp.asarray(verts_dst, jnp.float32),
+            jnp.asarray(np.pad(tris, ((0, W.MAX_TRIS - len(tris)), (0, 0)),
+                               constant_values=-1)),
+            jnp.asarray(uv, jnp.float32),
+            jnp.asarray(hair512, jnp.int32),
             jnp.asarray(face512, jnp.int32))
     np.asarray(W._rasterize_composite(*args, big, pad,
                                       out_size=cfg.edit_size))
@@ -97,7 +108,7 @@ def main():
     for _ in range(reps):
         np.asarray(W._rasterize_composite(*args, big, pad,
                                           out_size=cfg.edit_size))
-    print(f'rasterize+composite dispatch+sync: '
+    print(f'device rasterize+composite FALLBACK (dispatch+sync): '
           f'{(time.time() - t0) / reps * 1000:.1f} ms', flush=True)
 
     wt = W.warp_hair_mask_between_images(
