@@ -68,6 +68,7 @@ class Backend:
         self.target_latent: Optional[Latent] = None
         self.input_sean_code = None    # [1,19,512]
         self.input_hair_feature = None
+        self._input_dev = None         # cached (img [1,S,S,3], mask [1,S,S])
 
     def crop_face(self, img_rgb: np.ndarray, save_path=None) -> np.ndarray:
         """(ref: hair_editor.py:312-329)"""
@@ -355,8 +356,9 @@ class Backend:
             # ONE fused render+blend program (same program the single-edit
             # path uses) instead of edit_render + blend: halves dispatches
             # and keeps the intermediate render on device
-            face = jnp.tile(jnp.asarray(self.input_img)[None], (n, 1, 1, 1))
-            flabel = jnp.tile(jnp.asarray(self.input_mask)[None], (n, 1, 1))
+            face1, flabel1 = self._input_batched()
+            face = jnp.tile(face1, (n, 1, 1, 1))
+            flabel = jnp.tile(flabel1, (n, 1, 1))
             out = self.editor.output(self.editor.params, codes, latents,
                                      face, flabel, mask)
             return np.asarray(out)
@@ -365,18 +367,31 @@ class Backend:
         return np.asarray(jnp.clip(
             jnp.round(img * 127.5 + 127.5), 0, 255)).astype(np.uint8)
 
-    def interpolation_sweep(self, l1: Latent, l2: Latent,
-                            alphas) -> np.ndarray:
-        """Render latent interpolations for every alpha in one batch.
+    def _input_batched(self):
+        """Device-cached (face image, face label) batch-1 pair; invalidated
+        by set_input_img storing new host arrays."""
+        if self._input_dev is None or self._input_dev[2] is not self.input_img:
+            self._input_dev = (jnp.asarray(self.input_img)[None],
+                               jnp.asarray(self.input_mask)[None],
+                               self.input_img)
+        return self._input_dev[0], self._input_dev[1]
 
-        The interpolation itself is batched — alpha enters as [N,1] and
-        broadcasts against the [1,d] endpoint latents — instead of a host
-        loop of N per-alpha latent constructions (~200 small dispatches at
-        N=32, which dominated the sweep through the device relay)."""
-        a = jnp.asarray(alphas, jnp.float32)[:, None]
+    def interpolation_sweep(self, l1: Latent, l2: Latent, alphas,
+                            readback: bool = True):
+        """Render latent interpolations for every alpha in one fused device
+        program (interpolate + render + blend, editor._output_sweep) —
+        vs the reference's per-alpha backend calls.  Host traffic per sweep:
+        the [N] alpha vector up, plus (optionally) one uint8 batch down."""
+        a = jnp.asarray(alphas, jnp.float32)
+        l1 = l1.replace(face=self.cur_latent.face)
+        if self.blending:
+            face, flabel = self._input_batched()
+            out = self.editor.output_sweep(
+                self.editor.params, self.input_sean_code, l1, l2, a,
+                face, flabel, self._cur_mask_batched())
+            return np.asarray(out) if readback else out
         n = a.shape[0]
-        lats = latent_ops.interpolate(l1, l2, a)
-        lats = lats.replace(face=self.cur_latent.face)
+        lats = latent_ops.interpolate(l1, l2, a[:, None])
         lats = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:]), lats)
         return self.output_batch(lats)

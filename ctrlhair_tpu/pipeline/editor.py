@@ -36,6 +36,7 @@ from ctrlhair_tpu.ops.poisson import poisson_blend
 from ctrlhair_tpu.ops.resize import (
     resize_bilinear_nhwc, resize_nearest)
 from ctrlhair_tpu.pipeline.latent import Latent
+from ctrlhair_tpu.pipeline.latent import interpolate as latent_interpolate
 from ctrlhair_tpu.utils.colorspace import rgb_to_hsv_u8
 from ctrlhair_tpu.utils.masks import (
     label_to_one_hot, one_hot_to_label, split_hair_face)
@@ -332,6 +333,24 @@ class HairEditorTPU:
         return self._output(params, sean_codes, latent, face_img_u8,
                             face_label, label), label
 
+    def _output_sweep(self, params, sean_codes, l1: Latent, l2: Latent,
+                      alphas, face_img_u8, face_label, target_label):
+        """BASELINE config 5 as ONE program: interpolate N latents between
+        two endpoints and render+blend every step against a single input.
+
+        All image-sized inputs stay batch-1 (plus the [N] alpha vector);
+        the broadcast to N happens inside the traced program, so a sweep
+        costs one dispatch with no host-side tiling, re-upload, or per-alpha
+        interpolate dispatches.  The reference renders each alpha through a
+        separate backend call (ref: ui/backend.py:343-358 + :147-175)."""
+        n = alphas.shape[0]
+        lat = latent_interpolate(l1, l2, alphas[:, None])
+        bcast = lambda x: jnp.broadcast_to(x, (n,) + x.shape[1:])
+        lat = jax.tree_util.tree_map(bcast, lat)
+        return self._output(params, bcast(sean_codes), lat,
+                            bcast(face_img_u8), bcast(face_label),
+                            bcast(target_label))
+
     # --------------------------------------------------------------- jitting
     def _build_jitted(self):
         # WarmJit = jax.jit + optional pre-serialized executables for the
@@ -349,6 +368,7 @@ class HairEditorTPU:
         self.edit_render = jax.jit(self._edit_render)
         self.blend = jax.jit(self._blend)
         self.output = WarmJit('output', self._output)
+        self.output_sweep = jax.jit(self._output_sweep)
         self.output_refresh = WarmJit('output_refresh',
                                       self._output_refresh)
 

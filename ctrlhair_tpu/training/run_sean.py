@@ -33,6 +33,12 @@ def main(argv=None):
                              'state dict (pretrained) for the perceptual '
                              'loss')
     parser.add_argument('--crop-size', type=int, default=None)
+    parser.add_argument('--ngf', type=int, default=None,
+                        help='generator width override (tests/debug)')
+    parser.add_argument('--split-step', action='store_true',
+                        help='two half-size G/D programs instead of the '
+                             'fused step: much cheaper to compile where '
+                             'the compile service is the bottleneck')
     parser.add_argument('--synthetic', action='store_true')
     args = parser.parse_args(argv)
 
@@ -41,8 +47,13 @@ def main(argv=None):
     from ctrlhair_tpu.training.loop import run_training
     from ctrlhair_tpu.training.sean_trainer import SEANTrainer
 
-    cfg = SEANConfig() if args.crop_size is None else SEANConfig(
-        crop_size=args.crop_size)
+    overrides = {}
+    if args.crop_size is not None:
+        overrides['crop_size'] = args.crop_size
+    if args.ngf is not None:
+        overrides.update(ngf=args.ngf, zencoder_ngf=args.ngf,
+                         style_dim=max(4 * args.ngf, 16))
+    cfg = SEANConfig(**overrides)
     vgg_params = None
     if args.vgg_weights and not args.no_vgg:
         import torch
@@ -60,7 +71,8 @@ def main(argv=None):
               'reference objective (pass --vgg-weights vgg19_features.pth, '
               'or --no-vgg to drop the term)', flush=True)
     trainer = SEANTrainer(cfg, use_vgg=not args.no_vgg,
-                          vgg_params=vgg_params)
+                          vgg_params=vgg_params,
+                          split_step=args.split_step)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
 
     dataset = None

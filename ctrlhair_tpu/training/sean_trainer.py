@@ -83,7 +83,8 @@ class SEANTrainer:
     def __init__(self, cfg: SEANConfig, lambda_feat: float = 10.0,
                  lambda_vgg: float = 10.0, lr_g: float = 1e-4,
                  lr_d: float = 4e-4, use_vgg: bool = True,
-                 vgg_params: Optional[Any] = None):
+                 vgg_params: Optional[Any] = None,
+                 split_step: bool = False):
         self.cfg = cfg
         self.lambda_feat = lambda_feat
         self.lambda_vgg = lambda_vgg
@@ -102,8 +103,30 @@ class SEANTrainer:
         # serializes the executable, after which fresh processes load it in
         # ~0.1 s (see utils/aot_cache.py)
         from ctrlhair_tpu.utils.aot_cache import WarmJit
-        self.train_step = WarmJit('sean_train_step', self._train_step,
+        self.split_step = split_step
+        if split_step:
+            # Split-program fallback for environments where the fused
+            # G+D(+VGG) program's compile is prohibitive (this relay's
+            # serial remote-compile service scales super-linearly with
+            # program size): two roughly half-size programs compile much
+            # faster; `fake` stays on device between them, so steady-state
+            # cost is one extra dispatch
+            self.g_step = WarmJit('sean_g_step', self._g_step,
                                   donate_argnums=(0,))
+            self.d_step = WarmJit('sean_d_step', self._d_step,
+                                  donate_argnums=(0,))
+
+            def _two_program_step(state, batch, rng):
+                state, fake_sg, gm = self.g_step(state, batch, rng)
+                state, dm = self.d_step(state, batch, fake_sg)
+                m = {**gm, **dm}
+                m['finite'] = gm['g_finite'] & dm['finite']
+                return state, m
+
+            self.train_step = _two_program_step
+        else:
+            self.train_step = WarmJit('sean_train_step', self._train_step,
+                                      donate_argnums=(0,))
 
     def init_state(self, rng: jax.Array) -> SEANTrainState:
         cfg = self.cfg
@@ -132,7 +155,19 @@ class SEANTrainer:
 
     def _train_step(self, state: SEANTrainState,
                     batch: Dict[str, jnp.ndarray], rng: jax.Array):
-        """batch: {'image': [N,S,S,3] in [-1,1], 'label': [N,S,S] int}."""
+        """Fused G+D step (one XLA program).
+        batch: {'image': [N,S,S,3] in [-1,1], 'label': [N,S,S] int}."""
+        state, fake_sg, gm = self._g_step(state, batch, rng)
+        state, dm = self._d_step(state, batch, fake_sg)
+        m = {**gm, **dm}
+        m['finite'] = gm['g_finite'] & dm['finite']
+        return state, m
+
+    def _g_step(self, state: SEANTrainState,
+                batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        """Generator half: G forward+losses+update, returns the detached
+        fake for the D half.  Each half gates its own update on its own
+        gradient finiteness (the reference has no finite-gating at all)."""
         img = batch['image']
         label = batch['label']
         label_oh = label_to_one_hot(label)
@@ -189,8 +224,34 @@ class SEANTrainer:
         (g_total, (g_losses, fake, new_stats)), g_grads = \
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.gen.params)
 
-        # ---------------- D step (fake detached)
-        fake_sg = jax.lax.stop_gradient(fake)
+        g_finite = grads_finite(g_grads)
+        new_sn_u = state.sn_u
+        if state.sn_u is not None:
+            _, new_sn_u = spectral_normalize_tree(
+                jax.lax.stop_gradient(state.gen.params['params']),
+                state.sn_u)
+        new_state = state.replace(
+            gen=safe_apply_updates(state.gen, g_grads, self.tx_g, g_finite),
+            gen_stats=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(g_finite, a, b), new_stats,
+                state.gen_stats),
+            sn_u=new_sn_u)
+        metrics = {'g_total': g_total, 'g_finite': g_finite}
+        metrics.update({f'g/{k}': v for k, v in g_losses.items()})
+        return new_state, jax.lax.stop_gradient(fake), metrics
+
+    def _d_step(self, state: SEANTrainState,
+                batch: Dict[str, jnp.ndarray], fake_sg: jnp.ndarray):
+        """Discriminator half: hinge on (label ++ image) pairs through the
+        2-scale PatchGAN, against the G half's detached fake."""
+        img = batch['image']
+        label_oh = label_to_one_hot(batch['label'])
+
+        def dis_apply(params_d, x):
+            inner = params_d['params']
+            if state.dis_sn_u is not None:
+                inner, _ = spectral_normalize_tree(inner, state.dis_sn_u)
+            return self.dis.apply({'params': inner}, x)
 
         def d_loss_fn(params_d):
             feats_fake = dis_apply(params_d,
@@ -204,25 +265,15 @@ class SEANTrainer:
 
         d_total, d_grads = jax.value_and_grad(d_loss_fn)(state.dis.params)
 
-        finite = grads_finite(g_grads) & grads_finite(d_grads)
-        new_sn_u = state.sn_u
-        if state.sn_u is not None:
-            _, new_sn_u = spectral_normalize_tree(
-                jax.lax.stop_gradient(state.gen.params['params']),
-                state.sn_u)
+        d_finite = grads_finite(d_grads)
         new_dis_sn_u = state.dis_sn_u
         if state.dis_sn_u is not None:
             _, new_dis_sn_u = spectral_normalize_tree(
                 jax.lax.stop_gradient(state.dis.params['params']),
                 state.dis_sn_u)
-        new_state = SEANTrainState(
+        new_state = state.replace(
             step=state.step + 1,
-            gen=safe_apply_updates(state.gen, g_grads, self.tx_g, finite),
-            gen_stats=jax.tree_util.tree_map(
-                lambda a, b: jnp.where(finite, a, b), new_stats,
-                state.gen_stats),
-            dis=safe_apply_updates(state.dis, d_grads, self.tx_d, finite),
-            sn_u=new_sn_u, dis_sn_u=new_dis_sn_u)
-        metrics = {'g_total': g_total, 'd_total': d_total, 'finite': finite}
-        metrics.update({f'g/{k}': v for k, v in g_losses.items()})
+            dis=safe_apply_updates(state.dis, d_grads, self.tx_d, d_finite),
+            dis_sn_u=new_dis_sn_u)
+        metrics = {'d_total': d_total, 'finite': d_finite}
         return new_state, metrics

@@ -140,9 +140,12 @@ def test_native_checkpoints_load_into_pipeline(tmp_path):
 
 def test_run_sean_synthetic(tmp_path):
     from ctrlhair_tpu.training import run_sean
+    # tiny width (--ngf) — the full-width G+D compile alone took ~6 min on
+    # this 1-core host; --split-step also exercises the two-program path
     state = run_sean.main([
         '--synthetic', '--steps', '2', '--batch-size', '2', '--no-vgg',
-        '--crop-size', '32', '--out-dir', str(tmp_path / 'sean')])
+        '--crop-size', '32', '--ngf', '8', '--split-step',
+        '--out-dir', str(tmp_path / 'sean')])
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / 'sean' / 'checkpoints')
 
