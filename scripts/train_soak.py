@@ -178,6 +178,23 @@ def plot_curves(metrics_rows, keys, path, title):
     plt.close(fig)
 
 
+def retry_compile(fn, *args, attempts=4, wait=90):
+    """First-call (compile) guard: the relay's remote-compile service
+    sporadically drops long compiles with UNAVAILABLE/Broken pipe; the
+    compile is stateless, so retrying is safe."""
+    for i in range(attempts - 1):
+        try:
+            return fn(*args)
+        except Exception as e:   # noqa: BLE001
+            msg = str(e)
+            if 'UNAVAILABLE' not in msg and 'Network Error' not in msg:
+                raise
+            stamp(f'relay dropped the compile (attempt {i + 1}/{attempts}: '
+                  f'{msg[:120]}); retrying in {wait}s')
+            time.sleep(wait)
+    return fn(*args)
+
+
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else '/tmp/ctrlhair_soak'
     ct_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 25000
@@ -196,27 +213,40 @@ def main():
     summary = {'work': work, 'ct_steps': ct_steps,
                'shape_steps': shape_steps}
 
-    # ---------------- A: data
-    n = stage_data(work)
-    stamp(f'staged {n} augmented images with pseudo-labels')
+    # ---------------- A: data (resumable: the relay's compile service
+    # drops connections sporadically; a restart must not redo finished
+    # stages)
+    prep_marker = os.path.join(work, '.prep_done')
+    if os.path.exists(prep_marker):
+        stamp('stage A already complete (marker found); resuming')
+        n = None
+    else:
+        n = stage_data(work)
+        stamp(f'staged {n} augmented images with pseudo-labels')
     editor = HairEditorTPU(PipelineConfig(), seed=0)
     datasets = sorted(d for d in os.listdir(work)
                       if os.path.isdir(os.path.join(work, d, 'images_256')))
     catalog = DataCatalog(work, datasets, filter_female_and_frontal=False)
     stamp(f'catalog: {len(catalog.items)} items, '
           f'{len(catalog.train_items)} train')
-    codes = prep.compute_sean_codes(
-        editor, catalog, os.path.join(work, 'sean_code_dict.pkl'),
-        batch_size=8)
-    prep.compute_color_stats(
-        catalog, os.path.join(work, 'rgb_stat_dict.pkl'),
-        os.path.join(work, 'hsv_stat_dict_ordered.pkl'))
-    prep.compute_color_variance(
-        catalog, os.path.join(work, 'color_var_stat_dict.pkl'))
-    prep.compute_mean_style_codes(codes,
-                                  os.path.join(work, 'mean_style_code'))
-    ns, nc = curliness_lists(work, catalog)
-    stamp(f'prep done; curliness lists: {ns} straight / {nc} curly')
+    if os.path.exists(prep_marker):
+        with open(os.path.join(work, 'sean_code_dict.pkl'), 'rb') as f:
+            codes = pickle.load(f)
+    else:
+        codes = prep.compute_sean_codes(
+            editor, catalog, os.path.join(work, 'sean_code_dict.pkl'),
+            batch_size=8)
+        prep.compute_color_stats(
+            catalog, os.path.join(work, 'rgb_stat_dict.pkl'),
+            os.path.join(work, 'hsv_stat_dict_ordered.pkl'))
+        prep.compute_color_variance(
+            catalog, os.path.join(work, 'color_var_stat_dict.pkl'))
+        prep.compute_mean_style_codes(codes,
+                                      os.path.join(work, 'mean_style_code'))
+        ns, nc = curliness_lists(work, catalog)
+        stamp(f'prep done; curliness lists: {ns} straight / {nc} curly')
+        with open(prep_marker, 'w') as f:
+            f.write('done')
 
     # ---------------- B: predictors
     from ctrlhair_tpu.data.color_texture_dataset import ColorTextureDataset
@@ -235,6 +265,8 @@ def main():
     stamp(f'ct dataset: {len(dataset.train_keys)} train / '
           f'{len(dataset.test_keys)} test')
 
+    from ctrlhair_tpu.utils.checkpoint import load_checkpoint
+
     pred_params = {}
     pred_metrics = {}
     for which, cfg_fn in (('rgb', rgb_predictor_config),
@@ -242,6 +274,16 @@ def main():
         pcfg = dataclasses.replace(cfg_fn(), total_step=2000)
         tr = PredictorTrainer(pcfg)
         state = tr.init_state(jax.random.PRNGKey(0))
+        out_dir = os.path.join(work, 'model_trained',
+                               f'{which}_predictor', 'checkpoints')
+        variables = dict(state.model.params)
+        if jax.tree_util.tree_leaves(state.stats):
+            variables['batch_stats'] = state.stats
+        resumed = load_checkpoint(out_dir, variables)
+        if resumed is not None and resumed[1] >= pcfg.total_step:
+            pred_params[which] = resumed[0]
+            stamp(f'predictor[{which}] resumed from checkpoint')
+            continue
         rng = np.random.default_rng(1)
         rows = []
         for step in range(pcfg.total_step):
@@ -320,8 +362,14 @@ def main():
                             'checkpoints')
     t0 = time.time()
     for step in range(ct_steps):
-        state, m = trainer.train_step(state, ct_batch(step), frozen_preds,
-                                      jax.random.PRNGKey(step))
+        if step == 0:
+            state, m = retry_compile(trainer.train_step, state,
+                                     ct_batch(step), frozen_preds,
+                                     jax.random.PRNGKey(step))
+        else:
+            state, m = trainer.train_step(state, ct_batch(step),
+                                          frozen_preds,
+                                          jax.random.PRNGKey(step))
         if step == 0:
             stamp(f'ct train_step compiled+first run in '
                   f'{time.time() - t0:.1f}s')
@@ -382,8 +430,12 @@ def main():
     for step in range(shape_steps):
         b = sdataset.training_batch(shape_cfg.total_batch_size)
         batch = {k: jnp.asarray(v) for k, v in b.items()}
-        sstate, m = strainer.train_step(sstate, batch,
-                                        jax.random.PRNGKey(step))
+        if step == 0:
+            sstate, m = retry_compile(strainer.train_step, sstate, batch,
+                                      jax.random.PRNGKey(step))
+        else:
+            sstate, m = strainer.train_step(sstate, batch,
+                                            jax.random.PRNGKey(step))
         if step == 0:
             stamp(f'shape train_step compiled+first run in '
                   f'{time.time() - t0:.1f}s')
