@@ -38,7 +38,8 @@ class ColorTextureTrainer:
 
     def __init__(self, cfg: ColorTextureConfig,
                  rgb_pred_cfg=None, curliness_pred_cfg=None,
-                 sean=None, sean_params=None, rec_img_subset: int = 4):
+                 sean=None, sean_params=None, rec_img_subset: int = 4,
+                 split_rec_img: bool = False):
         from ctrlhair_tpu.config import (
             curliness_predictor_config, rgb_predictor_config)
         self.cfg = cfg
@@ -55,7 +56,37 @@ class ColorTextureTrainer:
         self.tx_g = adam(cfg.lr_g, cfg.beta1, cfg.beta2)
         self.tx_d = adam(cfg.lr_d, cfg.beta1, cfg.beta2)
         self.tx_dz = adam(cfg.lr_g, cfg.beta1, cfg.beta2)
-        self.train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        self.split_rec_img = split_rec_img and sean is not None
+        self._step_jit = jax.jit(self._train_step, donate_argnums=(0,))
+        if self.split_rec_img:
+            # The rec_img term contains a full SEAN decode forward+backward;
+            # fused with the GAN step the program exceeds what this
+            # environment's remote-compile service survives (drops the
+            # connection after ~30 min).  Split, each half compiles like its
+            # round-2-proven counterparts; the unweighted rec gradient is
+            # computed in its own program and summed (scaled by the
+            # schedule weight) into the G update inside the main step.
+            self._rec_jit = jax.jit(self._rec_img_grads)
+
+            def _split_step(state, batch, predictor_params, rng,
+                            host_step=None):
+                """host_step (python int, optional): lets the caller skip
+                the rec program entirely while its schedule weight is 0 —
+                without it the weight lives on device and checking it would
+                cost a host sync per step."""
+                skip = (host_step is not None and float(
+                    self.schedule.weight('lambda_rec_img', host_step)) == 0.0)
+                if 'sean_code' not in batch or skip:
+                    return self._step_jit(state, batch, predictor_params,
+                                          rng)
+                rec = self._rec_jit(state.gen.params, state.dis.params,
+                                    batch)
+                return self._step_jit(state, batch, predictor_params, rng,
+                                      rec)
+
+            self.train_step = _split_step
+        else:
+            self.train_step = self._step_jit
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng: jax.Array,
@@ -117,8 +148,36 @@ class ColorTextureTrainer:
         gan_out_fake = self.dis.apply(params_d, gan_mid)
         return d_res_real, ae_mid, ae_out, gan_in, gan_mid, gan_out_fake
 
+    def _rec_img_hair_mse(self, params_g, params_d, batch):
+        """Unweighted render-through-frozen-SEAN hair reconstruction MSE
+        (ref: solver.py:270-299) as a function of the generator params via
+        the AE path (D-encode -> generate -> hair-code swap -> SEAN
+        decode).  The AE path is deterministic given (params, batch), so
+        this recomputation is exactly the fused step's value."""
+        from ctrlhair_tpu.constants import HAIR_IDX
+        k = min(self.rec_img_subset, batch['sean_code'].shape[0])
+        d_res_real = self.dis.apply(params_d, {'code': batch['code']})
+        ae_mid = {'noise': d_res_real['noise'],
+                  'noise_curliness': d_res_real['noise_curliness'],
+                  'rgb_mean': batch['rgb_mean'],
+                  'pca_std': batch['pca_std']}
+        ae_out = self.gen.apply(params_g, ae_mid)
+        codes = batch['sean_code'][:k].at[:, HAIR_IDX].set(
+            ae_out['code'][:k])
+        render = self.sean.apply(self.sean_params, batch['label'][:k],
+                                 codes, method=self.sean.decode)
+        hair = (batch['label'][:k] == HAIR_IDX)[..., None]
+        diff = (batch['image'][:k] - render) ** 2 * hair
+        return jnp.sum(diff) / jnp.maximum(jnp.sum(hair) * 3.0, 1.0)
+
+    def _rec_img_grads(self, params_g, params_d, batch):
+        """Split-program half: (unweighted rec_img loss, its G-grads)."""
+        return jax.value_and_grad(self._rec_img_hair_mse)(
+            params_g, params_d, batch)
+
     def _train_step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
-                    predictor_params: Dict[str, Any], rng: jax.Array):
+                    predictor_params: Dict[str, Any], rng: jax.Array,
+                    rec=None):
         cfg = self.cfg
         sch = self.schedule
         step = state.step
@@ -178,24 +237,27 @@ class ColorTextureTrainer:
                 weights)
             if cfg.gen_mode == 'eigengan':
                 lg['lambda_orthogonal'] = self.gen.orthogonal_loss(params_g)
-            if self.sean is not None and 'sean_code' in batch:
+            if (self.sean is not None and 'sean_code' in batch
+                    and rec is None and not self.split_rec_img):
                 # render-through-frozen-SEAN hair reconstruction
                 # (ref: solver.py:270-299); a small subset for cost parity
-                from ctrlhair_tpu.constants import HAIR_IDX
-                k = min(self.rec_img_subset, batch['sean_code'].shape[0])
-                codes = batch['sean_code'][:k].at[:, HAIR_IDX].set(
-                    ae_out['code'][:k])
-                render = self.sean.apply(self.sean_params,
-                                         batch['label'][:k], codes,
-                                         method=self.sean.decode)
-                hair = (batch['label'][:k] == HAIR_IDX)[..., None]
-                diff = (batch['image'][:k] - render) ** 2 * hair
-                lg['lambda_rec_img'] = jnp.sum(diff) / jnp.maximum(
-                    jnp.sum(hair) * 3.0, 1.0)
+                lg['lambda_rec_img'] = self._rec_img_hair_mse(
+                    params_g, state.dis.params, batch)
             return sch.total(lg, step), lg
 
         (g_total, g_losses), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.gen.params)
+
+        if rec is not None:
+            # rec_img computed in its own program (split_rec_img): add the
+            # schedule-weighted gradient and loss here, before the finite
+            # gate, so the combined update matches the fused step
+            rec_loss, rec_grads = rec
+            w = sch.weight('lambda_rec_img', step)
+            g_grads = jax.tree_util.tree_map(
+                lambda a, b: a + w * b, g_grads, rec_grads)
+            g_losses = dict(g_losses, lambda_rec_img=rec_loss)
+            g_total = g_total + w * rec_loss
 
         # ------------- latent-prior discriminator step (ref: solver.py:253-268)
         real_noise = jnp.concatenate(

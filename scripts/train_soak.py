@@ -340,7 +340,7 @@ def main():
 
     trainer = ColorTextureTrainer(
         ct_cfg, sean=editor.sean, sean_params=editor.params['sean'],
-        rec_img_subset=4)
+        rec_img_subset=4, split_rec_img=True)
     state, _ = trainer.init_state(jax.random.PRNGKey(0))
     frozen_preds = {'rgb': pred_params['rgb'],
                     'curliness': pred_params['curliness']}
@@ -362,14 +362,19 @@ def main():
                             'checkpoints')
     t0 = time.time()
     for step in range(ct_steps):
-        if step == 0:
+        if step in (0, int(ct_steps * 0.8)):
+            # fresh program signatures compile here (step 0: main program;
+            # rec_img activation: rec program + main-with-rec) — guard both
+            # against relay compile drops
             state, m = retry_compile(trainer.train_step, state,
                                      ct_batch(step), frozen_preds,
-                                     jax.random.PRNGKey(step))
+                                     jax.random.PRNGKey(step), step)
         else:
+            # host_step lets the split-rec_img path skip the rec program
+            # while its schedule weight is 0
             state, m = trainer.train_step(state, ct_batch(step),
                                           frozen_preds,
-                                          jax.random.PRNGKey(step))
+                                          jax.random.PRNGKey(step), step)
         if step == 0:
             stamp(f'ct train_step compiled+first run in '
                   f'{time.time() - t0:.1f}s')

@@ -73,6 +73,50 @@ def test_ct_trainer_rec_img_loss():
     assert bool(metrics['finite'])
 
 
+def test_ct_trainer_split_rec_img_matches_fused():
+    """split_rec_img=True (rec_img gradient in its own program, for relay
+    compile limits) computes the same update as the fused step."""
+    import dataclasses
+    import optax
+    from ctrlhair_tpu.config import SEANConfig
+    from ctrlhair_tpu.models.sean import SEAN
+    sean_cfg = SEANConfig(crop_size=32, ngf=2, zencoder_ngf=2, style_dim=64)
+    sean = SEAN(sean_cfg)
+    sean_params = sean.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            jnp.zeros((1, 32, 32), jnp.int32))
+    cfg = dataclasses.replace(TINY_CT, lambda_rec_img={0: 10.0})
+    rng = np.random.default_rng(0)
+    batch = dict(ct_batch(jax.random.PRNGKey(1), cfg, 4))
+    batch['sean_code'] = jnp.asarray(
+        rng.standard_normal((4, 19, 64)).astype(np.float32))
+    batch['label'] = jnp.asarray(
+        rng.integers(0, 19, (4, 32, 32)).astype(np.int32))
+    batch['image'] = jnp.asarray(
+        rng.standard_normal((4, 32, 32, 3)).astype(np.float32) * 0.3)
+    outs = []
+    for split in (False, True):
+        tr = ColorTextureTrainer(cfg, sean=sean, sean_params=sean_params,
+                                 split_rec_img=split)
+        # SGD so the param diff is a toleranced gradient diff (Adam first
+        # steps amplify last-bit reassociation into sign flips)
+        tr.tx_g = tr.tx_d = tr.tx_dz = optax.sgd(0.1)
+        state, pred = tr.init_state(jax.random.PRNGKey(0))
+        new_state, m = tr.train_step(state, batch, pred,
+                                     jax.random.PRNGKey(2))
+        assert bool(m['finite'])
+        assert np.isfinite(float(m['g/lambda_rec_img']))
+        outs.append((new_state, m))
+    (s_f, m_f), (s_s, m_s) = outs
+    np.testing.assert_allclose(float(m_f['g_total']), float(m_s['g_total']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_f['g/lambda_rec_img']),
+                               float(m_s['g/lambda_rec_img']), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.gen.params),
+                    jax.tree_util.tree_leaves(s_s.gen.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_ct_schedule_weights():
     from ctrlhair_tpu.training.losses import LossSchedule
     sch = LossSchedule(ColorTextureConfig())
