@@ -420,13 +420,92 @@ def contour_landmarks_81(label_map: np.ndarray) -> np.ndarray:
 
 
 def estimate_landmarks_81(label_map: np.ndarray,
-                          method: str = 'contour') -> np.ndarray:
-    """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1]."""
+                          method: str = 'contour',
+                          image: np.ndarray | None = None) -> np.ndarray:
+    """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1].
+
+    method='contour' (default): parsing-contour estimator above.
+    method='net': the learned regressor (load_landmark_net first; pass the
+        RGB `image`); falls back to contour when no net is loaded or the
+        presence head says no face — the analogue of dlib's detector
+        returning no boxes (ref: external_code/landmarks_util.py:30-37).
+    method='template': bare fitted template prior.
+    """
+    if method == 'net':
+        if image is None:
+            raise ValueError("method='net' needs the RGB image")
+        res = net_landmarks_81(image)
+        if res is not None:
+            return res[0]
+        method = 'contour'
     if method == 'contour':
         return contour_landmarks_81(label_map)
     return template_landmarks_81(select_main_face(np.asarray(label_map)))
 
 
 def estimate_landmarks_68(label_map: np.ndarray,
-                          method: str = 'contour') -> np.ndarray:
-    return estimate_landmarks_81(label_map, method=method)[:68]
+                          method: str = 'contour',
+                          image: np.ndarray | None = None) -> np.ndarray:
+    return estimate_landmarks_81(label_map, method=method,
+                                 image=image)[:68]
+
+
+# --------------------------------------------------------------------------
+# Learned regressor path (models/landmark_net.py) — module-level singleton,
+# mirroring the reference's module-level dlib predictor load
+# (ref: external_code/landmarks_util.py:17-19).
+
+_NET = None  # (model, params, cfg) once loaded
+
+
+def default_landmark_ckpt_dir() -> str:
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, 'model_trained', 'landmark_net',
+                        'checkpoints')
+
+
+def load_landmark_net(ckpt_dir: str | None = None, cfg=None) -> bool:
+    """Load the trained landmark regressor as the module singleton.
+
+    Returns True if a checkpoint was found and loaded; False leaves the
+    contour estimator as the only path.
+    """
+    global _NET
+    import jax
+    from ctrlhair_tpu.models.landmark_net import (LandmarkNet,
+                                                  LandmarkNetConfig)
+    from ctrlhair_tpu.utils.checkpoint import load_checkpoint
+    cfg = cfg or LandmarkNetConfig()
+    model = LandmarkNet(cfg, train=False)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, cfg.input_size, cfg.input_size, 3), np.float32))
+    restored = load_checkpoint(ckpt_dir or default_landmark_ckpt_dir(),
+                               template)
+    if restored is None:
+        return False
+    _NET = (model, restored[0], cfg)
+    return True
+
+
+def unload_landmark_net() -> None:
+    global _NET
+    _NET = None
+
+
+def net_landmarks_81(image: np.ndarray,
+                     min_presence: float = 0.5):
+    """RGB uint8 image -> ([81,2] normalised landmarks, presence prob), or
+    None when no net is loaded / the presence head rejects the frame."""
+    if _NET is None:
+        return None
+    from ctrlhair_tpu.models.landmark_net import preprocess_image
+    model, params, cfg = _NET
+    out = model.apply(params, preprocess_image(image, cfg.input_size))
+    presence = float(1 / (1 + np.exp(-np.asarray(out['presence'])[0])))
+    if presence < min_presence:
+        return None
+    return (np.clip(np.asarray(out['landmarks'][0]), 0.0, 1.0),
+            presence)

@@ -1,0 +1,125 @@
+# Learned landmark regressor (dlib stand-in): model contract, training
+# convergence on the synthetic face distribution, and the
+# load/estimate/fallback integration in ops.landmarks.
+# Ref contract: external_code/landmarks_util.py:17-55 (detector + 68/81
+# shape predictors behind module-level singletons).
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def tiny_cfg():
+    from ctrlhair_tpu.models.landmark_net import LandmarkNetConfig
+    return LandmarkNetConfig(input_size=64, base_channels=8, stages=3,
+                             hidden_dim=64, total_batch_size=16)
+
+
+def test_forward_shapes(tiny_cfg):
+    import jax
+    import jax.numpy as jnp
+    from ctrlhair_tpu.models.landmark_net import LandmarkNet
+    net = LandmarkNet(tiny_cfg)
+    x = jnp.zeros((3, 64, 64, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out['landmarks'].shape == (3, 81, 2)
+    assert out['presence'].shape == (3,)
+    # zero-init head => the prediction starts AT the template prior
+    from ctrlhair_tpu.ops.landmarks import canonical_template_81
+    np.testing.assert_allclose(np.asarray(out['landmarks'][0]),
+                               canonical_template_81(), atol=1e-4)
+
+
+def test_synthetic_dataset_contract():
+    from ctrlhair_tpu.data import landmark_dataset as D
+    rng = np.random.default_rng(0)
+    b = D.training_batch(rng, 12, size=64, neg_frac=0.3)
+    assert b['image'].shape == (12, 64, 64, 3)
+    assert b['landmarks'].shape == (12, 81, 2)
+    assert b['image'].min() >= -1.0 and b['image'].max() <= 1.0
+    assert b['landmarks'].min() >= 0.0 and b['landmarks'].max() <= 1.0
+    assert set(np.unique(b['presence'])) <= {0.0, 1.0}
+    # faces and negatives both occur at this neg_frac
+    assert 0 < b['presence'].sum() < 12
+
+
+def test_training_converges(tiny_cfg):
+    """A few hundred tiny steps must cut the landmark error well below the
+    template-prior baseline and classify face presence."""
+    import jax
+    import jax.numpy as jnp
+    from ctrlhair_tpu.data import landmark_dataset as D
+    from ctrlhair_tpu.training.landmark_trainer import LandmarkTrainer
+
+    tr = LandmarkTrainer(tiny_cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    held = {k: jnp.asarray(v) for k, v in D.training_batch(
+        np.random.default_rng(99), 64, size=64).items()}
+    before = tr.eval_metrics(state.model.params, held)
+    for _ in range(400):
+        b = D.training_batch(rng, tiny_cfg.total_batch_size, size=64)
+        state, m = tr.train_step(state,
+                                 {k: jnp.asarray(v) for k, v in b.items()})
+    assert bool(m['finite'])
+    after = tr.eval_metrics(state.model.params, held)
+    # initial = the template prior's error against transformed faces
+    assert float(after['test/mean_dist_norm']) < \
+        0.6 * float(before['test/mean_dist_norm'])
+    assert float(after['test/presence_accuracy']) >= 0.9
+
+
+def test_load_estimate_fallback(tiny_cfg, tmp_path):
+    """load_landmark_net -> estimate_landmarks_81(method='net') round-trip,
+    presence-reject fallback to contour, and unload."""
+    import jax
+    import jax.numpy as jnp
+    from ctrlhair_tpu.data import landmark_dataset as D
+    from ctrlhair_tpu.ops import landmarks as LM
+    from ctrlhair_tpu.training.landmark_trainer import LandmarkTrainer
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+
+    tr = LandmarkTrainer(tiny_cfg)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    for _ in range(300):
+        b = D.training_batch(rng, tiny_cfg.total_batch_size, size=64)
+        state, _ = tr.train_step(state,
+                                 {k: jnp.asarray(v) for k, v in b.items()})
+    ckpt = str(tmp_path / 'ckpt')
+    save_checkpoint(ckpt, jax.tree_util.tree_map(
+        np.asarray, state.model.params), 300)
+
+    assert not LM.load_landmark_net(str(tmp_path / 'nothing'),
+                                    cfg=tiny_cfg)
+    assert LM.load_landmark_net(ckpt, cfg=tiny_cfg)
+    try:
+        # a rendered face: the net must land near ground truth
+        lm_gt = D.transform_landmarks(np.random.default_rng(5))
+        img = D.render_face(lm_gt, np.random.default_rng(5), size=64)
+        label = np.zeros((64, 64), np.int32)   # parse intentionally empty
+        est = LM.estimate_landmarks_81(label, method='net', image=img)
+        gt_err = np.linalg.norm(est - np.clip(lm_gt, 0, 1),
+                                axis=-1).mean()
+        from ctrlhair_tpu.ops.landmarks import canonical_template_81
+        prior_err = np.linalg.norm(
+            canonical_template_81() - np.clip(lm_gt, 0, 1), axis=-1).mean()
+        assert gt_err < prior_err
+        # 68-point view slices the same estimate
+        est68 = LM.estimate_landmarks_68(label, method='net', image=img)
+        np.testing.assert_allclose(est68, est[:68])
+        # presence-reject: a pure background must fall back to contour
+        # (which, on an empty parse, is the bare template)
+        bg = D.background(np.random.default_rng(6), 64)
+        res = LM.net_landmarks_81(bg)
+        if res is not None:           # net may accept an ambiguous frame
+            assert res[1] >= 0.5
+        fallback = LM.estimate_landmarks_81(label, method='net', image=bg)
+        assert fallback.shape == (81, 2)
+    finally:
+        LM.unload_landmark_net()
+    # with no net, method='net' falls back to contour
+    out = LM.estimate_landmarks_81(label, method='net', image=img)
+    np.testing.assert_allclose(
+        out, LM.contour_landmarks_81(label), atol=1e-6)
