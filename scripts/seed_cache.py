@@ -42,12 +42,27 @@ def main():
 
     force = '--force' in sys.argv
 
-    def seed(name, wj, args):
+    def seed(name, wj, args, attempts=3):
         t0 = time.time()
         if not force and aot_cache.load_executable(name, args) is not None:
             print(f'{name}: valid artifact present, skipped', flush=True)
             return
-        compiled = wj.lower(*args).compile()
+        # the remote compile service sporadically drops long compiles with
+        # UNAVAILABLE/Broken pipe; the compile is stateless, so retry
+        for i in range(attempts):
+            try:
+                compiled = wj.lower(*args).compile()
+                break
+            except Exception as e:   # noqa: BLE001
+                msg = str(e)
+                transient = ('UNAVAILABLE' in msg or 'Network Error' in msg
+                             or 'Broken pipe' in msg)
+                if not transient or i == attempts - 1:
+                    raise
+                print(f'{name}: relay dropped the compile '
+                      f'(attempt {i + 1}/{attempts}: {msg[:120]}); '
+                      f'retrying in 60s', flush=True)
+                time.sleep(60)
         path = aot_cache.save_executable(name, compiled, args)
         # run once to validate the executable end to end
         jax.block_until_ready(compiled(*args))

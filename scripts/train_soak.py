@@ -345,19 +345,47 @@ def main():
     frozen_preds = {'rgb': pred_params['rgb'],
                     'curliness': pred_params['curliness']}
 
+    # Device-resident training pool, uploaded ONCE: through the relay the
+    # per-step host->device uploads (3 MB of images + ~10 small arrays)
+    # dominate step wall time (measured ~0.8 s/step vs ~5 ms of device
+    # compute).  Batches become one on-device gather + RNG program.
+    tkeys = dataset.train_keys
+    codes_d = jnp.asarray(dataset.train[0])
+    rgb_d = jnp.asarray(dataset.train[1])
+    pca_d = jnp.asarray(dataset.train[2])
+    sean_d = jnp.asarray(np.stack([full_codes[k] for k in tkeys]))
+    lab_d = jnp.asarray(np.stack([lab_cache[k] for k in tkeys]), jnp.int32)
+    img_d = jnp.asarray(np.stack([img_cache[k] for k in tkeys]),
+                        jnp.float32)
+    n_train = len(tkeys)
+    B = ct_cfg.total_batch_size
+
+    @jax.jit
+    def make_ct_batch(key):
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        idx = jax.random.randint(k1, (B,), 0, n_train)
+        ridx = jax.random.randint(k2, (4,), 0, n_train)
+        label = jnp.where(jax.random.uniform(k3, (B, 1)) < 0.5, 1.0, -1.0)
+        return {
+            'code': jnp.take(codes_d, idx, axis=0),
+            'rgb_mean': jnp.take(rgb_d, idx, axis=0),
+            'pca_std': jnp.take(pca_d, idx, axis=0),
+            'noise': jax.random.normal(k4, (B, ct_cfg.noise_dim)),
+            'noise_curliness': (jnp.abs(jax.random.normal(k5, (B, 1)))
+                                * label),
+            'curliness_label': label,
+            'sean_code': jnp.take(sean_d, ridx, axis=0),
+            'label': jnp.take(lab_d, ridx, axis=0),
+            'image': jnp.take(img_d, ridx, axis=0),
+        }
+
     def ct_batch(step):
-        b = dataset.training_batch(ct_cfg.total_batch_size)
-        items = b.pop('items')
-        batch = {k: jnp.asarray(v) for k, v in b.items()}
-        sub = items[:4]
-        batch['sean_code'] = jnp.asarray(
-            np.stack([full_codes[k] for k in sub]))
-        batch['label'] = jnp.asarray(np.stack([lab_cache[k] for k in sub]))
-        batch['image'] = jnp.asarray(np.stack([img_cache[k] for k in sub]))
-        return batch
+        return make_ct_batch(jax.random.PRNGKey(1_000_000 + step))
 
     rows = []
-    finite_trips = 0
+    # count finite-guard trips on DEVICE (a lazy scalar accumulate): a host
+    # bool() per step would cost a blocking relay sync each step
+    finite_acc = jnp.zeros((), jnp.int32)
     ckpt_dir = os.path.join(work, 'model_trained', 'color_texture',
                             'checkpoints')
     t0 = time.time()
@@ -378,8 +406,7 @@ def main():
         if step == 0:
             stamp(f'ct train_step compiled+first run in '
                   f'{time.time() - t0:.1f}s')
-        if not bool(m['finite']):
-            finite_trips += 1
+        finite_acc = finite_acc + (1 - m['finite'].astype(jnp.int32))
         if step % 250 == 0 or step == ct_steps - 1:
             row = {'step': step}
             row.update({k: float(v) for k, v in m.items()})
@@ -394,6 +421,7 @@ def main():
                              'dis': state.dis.params}), step + 1,
                 max_keep=3)
     dt = time.time() - t0
+    finite_trips = int(finite_acc)
     stamp(f'ct: {ct_steps} steps in {dt:.0f}s '
           f'({ct_steps / dt:.1f} steps/s), finite-guard trips: '
           f'{finite_trips}')
@@ -429,12 +457,65 @@ def main():
                             datasets=datasets)
     strainer = ShapeTrainer(shape_cfg)
     sstate = strainer.init_state(jax.random.PRNGKey(0))
+
+    # Device-resident mask pools (same rationale as the ct stage, and
+    # worse: the stock batch path loads 16 PNGs and round-trips 80 MB of
+    # one-hot masks through the relay PER STEP).  Upload the int labels
+    # once; per-step gather + mirror + one-hot run on device.
+    from PIL import Image as _Image
+    from ctrlhair_tpu.utils.masks import label_to_one_hot
+
+    def _lab(path):
+        a = np.asarray(_Image.open(path)).astype(np.uint8)
+        if a.shape[0] != shape_cfg.img_size:
+            # pool composites are written at 512; cv2 INTER_NEAREST matches
+            # ops.resize.resize_nearest (the dataset's device path)
+            a = cv2.resize(a, (shape_cfg.img_size, shape_cfg.img_size),
+                           interpolation=cv2.INTER_NEAREST)
+        return a
+
+    pool_tgt, pool_face, pool_hair = [], [], []
+    for fname in sdataset.pool_files:
+        parts = os.path.splitext(fname)[0].split('___')
+        pool_tgt.append(_lab(os.path.join(sdataset.pool_dir, fname)))
+        pool_hair.append(_lab(catalog.label_path(
+            f'{parts[0]}___{parts[1]}')))
+        pool_face.append(_lab(catalog.label_path(
+            f'{parts[2]}___{parts[3]}')))
+    real_np = np.stack([_lab(catalog.label_path(k))
+                        for k in sdataset.real_keys])
+    tgt_d = jnp.asarray(np.stack(pool_tgt))
+    face_d = jnp.asarray(np.stack(pool_face))
+    hair_d = jnp.asarray(np.stack(pool_hair))
+    real_d = jnp.asarray(real_np)
+    P, R = tgt_d.shape[0], real_d.shape[0]
+    Bs = shape_cfg.total_batch_size
+
+    @jax.jit
+    def make_shape_batch(key):
+        kp, kr, km, km2 = jax.random.split(key, 4)
+        pidx = jax.random.randint(kp, (Bs,), 0, P)
+        ridx = jax.random.randint(kr, (Bs,), 0, R)
+        mir = jax.random.randint(km, (Bs,), 0, 2) == 1
+        mir_r = jax.random.randint(km2, (Bs,), 0, 2) == 1
+
+        def take_oh(arr, idx, m):
+            lab = jnp.take(arr, idx, axis=0).astype(jnp.int32)
+            lab = jnp.where(m[:, None, None], lab[:, :, ::-1], lab)
+            return label_to_one_hot(lab)
+
+        # the (target, face, hair) triplet shares one mirror bit per item
+        # (ref: shape_branch/dataset.py mirror augment); real draws its own
+        return {'target': take_oh(tgt_d, pidx, mir),
+                'face': take_oh(face_d, pidx, mir),
+                'hair': take_oh(hair_d, pidx, mir),
+                'real': take_oh(real_d, ridx, mir_r)}
+
     srows = []
     s_ckpt = os.path.join(work, 'model_trained', 'shape', 'checkpoints')
     t0 = time.time()
     for step in range(shape_steps):
-        b = sdataset.training_batch(shape_cfg.total_batch_size)
-        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        batch = make_shape_batch(jax.random.PRNGKey(2_000_000 + step))
         if step == 0:
             sstate, m = retry_compile(strainer.train_step, sstate, batch,
                                       jax.random.PRNGKey(step))
