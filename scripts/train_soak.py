@@ -178,6 +178,34 @@ def plot_curves(metrics_rows, keys, path, title):
     plt.close(fig)
 
 
+# Full-train-state checkpointing (params + Adam moments + step counter)
+# so an interrupted soak resumes EXACTLY where it stopped: relay sessions
+# are shorter than the soak, and re-running 20k GAN steps from params-only
+# checkpoints would reset the optimizer moments mid-curve.
+def save_train_state(path, state, rows):
+    import flax.serialization
+    import jax
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(state)))
+    os.replace(tmp, path)
+    with open(path + '.rows.json', 'w') as f:
+        json.dump(rows, f)
+
+
+def load_train_state(path, target):
+    if not os.path.exists(path):
+        return None
+    import flax.serialization
+    with open(path, 'rb') as f:
+        state = flax.serialization.from_bytes(target, f.read())
+    rows = []
+    if os.path.exists(path + '.rows.json'):
+        with open(path + '.rows.json') as f:
+            rows = json.load(f)
+    return state, rows
+
+
 def retry_compile(fn, *args, attempts=4, wait=90):
     """First-call (compile) guard: the relay's remote-compile service
     sporadically drops long compiles with UNAVAILABLE/Broken pipe; the
@@ -388,9 +416,33 @@ def main():
     finite_acc = jnp.zeros((), jnp.int32)
     ckpt_dir = os.path.join(work, 'model_trained', 'color_texture',
                             'checkpoints')
+    state_path = os.path.join(work, 'soak_state', 'ct.msgpack')
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    start_step = 0
+    resumed_ct = load_train_state(state_path, state)
+    if resumed_ct is not None:
+        state, rows = resumed_ct
+        start_step = min(int(np.asarray(state.step)), ct_steps)
+        rows = [r for r in rows if r['step'] < start_step]
+        stamp(f'ct: resumed full train state at step {start_step}')
+    else:
+        # bootstrap from a params-only checkpoint written by an older run
+        # (pre-full-state): Adam moments + dis_noise restart fresh
+        pc = load_checkpoint(ckpt_dir, {'gen': state.gen.params,
+                                        'dis': state.dis.params})
+        if pc is not None:
+            restored, pstep = pc
+            start_step = min(pstep, ct_steps)
+            state = state.replace(
+                step=jnp.asarray(start_step, jnp.int32),
+                gen=state.gen.replace(params=restored['gen']),
+                dis=state.dis.replace(params=restored['dis']))
+            stamp(f'ct: bootstrapped params from checkpoint at step '
+                  f'{pstep} (optimizer moments reset)')
+    rec_on = int(ct_steps * 0.8)
     t0 = time.time()
-    for step in range(ct_steps):
-        if step in (0, int(ct_steps * 0.8)):
+    for step in range(start_step, ct_steps):
+        if step in (start_step, rec_on):
             # fresh program signatures compile here (step 0: main program;
             # rec_img activation: rec program + main-with-rec) — guard both
             # against relay compile drops
@@ -420,13 +472,18 @@ def main():
                 np.asarray, {'gen': state.gen.params,
                              'dis': state.dis.params}), step + 1,
                 max_keep=3)
+        if step % 2500 == 2499 or step == ct_steps - 1:
+            save_train_state(state_path, state, rows)
     dt = time.time() - t0
+    done_steps = ct_steps - start_step
     finite_trips = int(finite_acc)
-    stamp(f'ct: {ct_steps} steps in {dt:.0f}s '
-          f'({ct_steps / dt:.1f} steps/s), finite-guard trips: '
-          f'{finite_trips}')
+    stamp(f'ct: {done_steps} steps this run in {dt:.0f}s '
+          f'({done_steps / max(dt, 1e-9):.1f} steps/s), finite-guard '
+          f'trips: {finite_trips}')
     summary['ct'] = {'steps': ct_steps, 'seconds': round(dt, 1),
-                     'steps_per_sec': round(ct_steps / dt, 2),
+                     'steps_this_run': done_steps,
+                     'steps_per_sec': round(
+                         done_steps / max(dt, 1e-9), 2),
                      'finite_trips': finite_trips,
                      'final': rows[-1]}
     with open(os.path.join(ART, 'ct_losses.json'), 'w') as f:
@@ -513,28 +570,40 @@ def main():
 
     srows = []
     s_ckpt = os.path.join(work, 'model_trained', 'shape', 'checkpoints')
+    s_state_path = os.path.join(work, 'soak_state', 'shape.msgpack')
+    s_start = 0
+    resumed_s = load_train_state(s_state_path, sstate)
+    if resumed_s is not None:
+        sstate, srows = resumed_s
+        s_start = min(int(np.asarray(sstate.step)), shape_steps)
+        srows = [r for r in srows if r['step'] < s_start]
+        stamp(f'shape: resumed full train state at step {s_start}')
     t0 = time.time()
-    for step in range(shape_steps):
+    for step in range(s_start, shape_steps):
         batch = make_shape_batch(jax.random.PRNGKey(2_000_000 + step))
-        if step == 0:
+        if step == s_start:
             sstate, m = retry_compile(strainer.train_step, sstate, batch,
                                       jax.random.PRNGKey(step))
+            stamp(f'shape train_step compiled+first run in '
+                  f'{time.time() - t0:.1f}s')
         else:
             sstate, m = strainer.train_step(sstate, batch,
                                             jax.random.PRNGKey(step))
-        if step == 0:
-            stamp(f'shape train_step compiled+first run in '
-                  f'{time.time() - t0:.1f}s')
         if step % 250 == 0 or step == shape_steps - 1:
             srows.append({'step': step,
                           **{k: float(v) for k, v in m.items()}})
             if step % 2500 == 0:
                 stamp(f'shape step {step}: g={srows[-1]["g_total"]:.3f}')
+        if step % 2500 == 2499 or step == shape_steps - 1:
+            save_train_state(s_state_path, sstate, srows)
     dt = time.time() - t0
-    stamp(f'shape: {shape_steps} steps in {dt:.0f}s '
-          f'({shape_steps / dt:.1f} steps/s)')
+    s_done = shape_steps - s_start
+    stamp(f'shape: {s_done} steps this run in {dt:.0f}s '
+          f'({s_done / max(dt, 1e-9):.1f} steps/s)')
     summary['shape'] = {'steps': shape_steps, 'seconds': round(dt, 1),
-                        'steps_per_sec': round(shape_steps / dt, 2),
+                        'steps_this_run': s_done,
+                        'steps_per_sec': round(
+                            s_done / max(dt, 1e-9), 2),
                         'final': srows[-1]}
     save_checkpoint(s_ckpt, jax.tree_util.tree_map(
         np.asarray, {'gen': sstate.gen.params}), shape_steps, max_keep=2)
