@@ -49,6 +49,172 @@ def load_directions(dir_path: str) -> Optional[List[np.ndarray]]:
     return out or None
 
 
+# ---------------------------------------------------------------------------
+# Automatic curation.
+#
+# The reference leaves slider semantics to an operator eyeballing sweep grids
+# (color_texture_branch/script_find_direction.py:27-74 and the shape variant).
+# auto_curate replaces the eyeball with measurable hair statistics so shipped
+# sliders provably move what their label says: every candidate direction is
+# swept through the trained generator and scored by the least-squares SLOPE
+# of a per-label metric over the sweep; slider slots are assigned greedily by
+# selectivity (strong on their own metric, weak on the others) and the
+# direction's sign is flipped so +slider increases the labelled quantity.
+# Slot order matches ui/app.SLIDER_SPECS.
+
+SHAPE_SLOTS = ['length', 'volume', 'bangs_direction', 'bangs']
+TEXTURE_SLOTS = ['smoothness', 'thickness']
+
+
+def _face_band(input_mask: np.ndarray):
+    """Forehead band (rows, cols) from the input parse: top of face skin
+    down to the top of the brows (or 20% of face height when no brow pixels
+    exist), restricted to the face's x-range."""
+    from ctrlhair_tpu.constants import PARSING_LABEL_LIST
+    skin = input_mask == PARSING_LABEL_LIST.index('skin_other')
+    brows = np.isin(input_mask, (PARSING_LABEL_LIST.index('l_brow'),
+                                 PARSING_LABEL_LIST.index('r_brow')))
+    ys, xs = np.nonzero(skin)
+    if ys.size == 0:
+        h, w = input_mask.shape
+        return (h // 4, h // 2), (w // 4, 3 * w // 4)
+    top = int(ys.min())
+    bys = np.nonzero(brows)[0]
+    bot = (int(bys.min()) if bys.size
+           else top + max(2, int(0.2 * (int(ys.max()) - top))))
+    if bot <= top:
+        bot = top + 2
+    c0 = int(np.percentile(xs, 2))
+    c1 = int(np.percentile(xs, 98)) + 1
+    return (top, bot), (c0, c1)
+
+
+def shape_metrics(mask: np.ndarray, band) -> dict:
+    """Label-map statistics behind the four shape sliders: hair length
+    (lowest hair row, robust), volume (hair area), bangs (hair coverage of
+    the forehead band), bangs_direction (signed left/right asymmetry of
+    that coverage)."""
+    from ctrlhair_tpu.constants import HAIR_IDX
+    (r0, r1), (c0, c1) = band
+    hair = mask == HAIR_IDX
+    ys = np.nonzero(hair)[0]
+    length = float(np.percentile(ys, 97) / mask.shape[0]) if ys.size else 0.0
+    volume = float(hair.mean())
+    fore = hair[r0:r1, c0:c1]
+    bangs = float(fore.mean()) if fore.size else 0.0
+    mid = fore.shape[1] // 2
+    denom = float(fore.sum())
+    bangs_direction = (float(fore[:, :mid].sum() - fore[:, mid:].sum())
+                       / denom if denom else 0.0)
+    return {'length': length, 'volume': volume, 'bangs': bangs,
+            'bangs_direction': bangs_direction}
+
+
+def texture_metrics(img: np.ndarray, mask: np.ndarray) -> dict:
+    """Rendered-image statistics behind the two texture sliders.
+    smoothness = negated high-frequency (Laplacian) energy in the hair
+    region; thickness = hair-region grey-level contrast (std) — documented
+    proxies for what the reference's operator judges visually."""
+    from ctrlhair_tpu.constants import HAIR_IDX
+    hair = mask == HAIR_IDX
+    if int(hair.sum()) < 16:
+        return {'smoothness': 0.0, 'thickness': 0.0}
+    g = np.asarray(img, np.float32).mean(-1)
+    lap = np.abs(4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                 - g[1:-1, :-2] - g[1:-1, 2:])
+    hl = hair[1:-1, 1:-1]
+    highfreq = float(lap[hl].mean()) if hl.any() else 0.0
+    return {'smoothness': -highfreq, 'thickness': float(g[hair].std())}
+
+
+def auto_curate(backend, att_name: str, n_candidates: int = 24,
+                values: Sequence[float] = (-2.0, -1.0, 0.0, 1.0, 2.0),
+                seed: int = 0, save_dir: Optional[str] = None,
+                report_path: Optional[str] = None):
+    """Pick one direction per slider slot by measured metric slope.
+
+    Requires backend.set_input_img to have been called.  Returns
+    (directions, report): directions[i] belongs to slot i of
+    SHAPE_SLOTS / TEXTURE_SLOTS; report records per-slot slopes and
+    scores.  With save_dir set, ships the sorted '<idx>.pkl' contract the
+    Backend auto-loads (ref: hair_editor.py:84-119)."""
+    import json
+
+    import jax.numpy as jnp
+
+    slots = SHAPE_SLOTS if att_name == 'shape' else TEXTURE_SLOTS
+    dim = int(getattr(backend.cur_latent, att_name).shape[-1])
+    rng = np.random.default_rng(seed)
+    cands = [random_orthogonal_direction(dim, [], rng)
+             for _ in range(n_candidates)]
+    band = _face_band(np.asarray(backend.input_mask))
+
+    vals = np.asarray(values, np.float64)
+    vc = vals - vals.mean()
+    saved = getattr(backend.cur_latent, att_name)
+    slopes = []
+    for d in cands:
+        rows = []
+        for v in values:
+            backend.continue_change_with_direction(att_name,
+                                                   jnp.asarray(d), float(v))
+            if att_name == 'shape':
+                rows.append(shape_metrics(np.asarray(backend.cur_mask),
+                                          band))
+            else:
+                img = backend.output()
+                rows.append(texture_metrics(
+                    np.asarray(img), np.asarray(backend.cur_mask)))
+        backend.cur_latent = backend.cur_latent.replace(**{att_name: saved})
+        if att_name == 'shape':
+            backend.refresh_cur_mask()
+        slopes.append({
+            m: float(np.dot(vc, [r[m] for r in rows]) / np.dot(vc, vc))
+            for m in rows[0]})
+
+    # z-normalise |slope| per metric across candidates so selectivity is
+    # comparable between metrics with different units
+    z = {m: np.asarray([s[m] for s in slopes])
+         / (np.std([abs(s[m]) for s in slopes]) + 1e-12)
+         for m in slopes[0]}
+
+    chosen, report, used = [], [], set()
+    for slot_idx, m in enumerate(slots):
+        others = [o for o in slopes[0] if o != m]
+        penalty = (np.mean([np.abs(z[o]) for o in others], axis=0)
+                   if others else np.zeros(n_candidates))
+        score = np.abs(z[m]) - 0.5 * penalty
+        pick = next(i for i in np.argsort(-score) if i not in used)
+        used.add(pick)
+        flip = -1.0 if z[m][pick] < 0 else 1.0
+        chosen.append(flip * cands[pick])
+        # report the slope AS SHIPPED (after the sign flip): +slider
+        # increases the labelled metric
+        report.append({'slot': slot_idx, 'label': m, 'candidate': int(pick),
+                       'slope': flip * slopes[pick][m],
+                       'score': float(score[pick]),
+                       'all_slopes': slopes[pick]})
+
+    # orthogonalise the chosen set in slot order (keeps sliders independent,
+    # the property the reference's Gram-Schmidt curation flow guarantees)
+    ortho: List[np.ndarray] = []
+    for d in chosen:
+        v = d.astype(np.float64).copy()
+        for e in ortho:
+            v = v - np.dot(v, e) * e
+        n = np.linalg.norm(v)
+        ortho.append(v / n if n > 1e-6 else d.astype(np.float64))
+    chosen = [o.astype(np.float32) for o in ortho]
+
+    if save_dir:
+        for i, d in enumerate(chosen):
+            save_direction(save_dir, i, d)
+    if report_path:
+        with open(report_path, 'w') as f:
+            json.dump(report, f, indent=1)
+    return chosen, report
+
+
 def render_candidate_grids(backend, att_name: str, out_dir: str,
                            n_candidates: int = 20,
                            values: Sequence[float] = (-2, -1, 0, 1, 2),

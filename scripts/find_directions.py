@@ -34,15 +34,54 @@ def main(argv=None):
                    help='slider slot to save the chosen direction under')
     p.add_argument('--save-dir', default=None,
                    help='directions dir (default model_trained/<att>_dir_used)')
+    p.add_argument('--auto', action='store_true',
+                   help='metric-scored curation: fill EVERY slider slot '
+                        'and write a score report (no operator in the loop)')
+    p.add_argument('--trained-root', default=None,
+                   help='model_trained root with <family>/checkpoints dirs '
+                        '(e.g. a train_soak workdir) to load before curating')
     args = p.parse_args(argv)
 
     from ctrlhair_tpu.pipeline.backend import Backend
     from ctrlhair_tpu.pipeline.direction_finder import (
-        render_candidate_grids, save_direction)
+        auto_curate, render_candidate_grids, save_direction)
     from ctrlhair_tpu.utils.image import read_rgb
 
     backend = Backend(blending=False)
+    if args.trained_root:
+        from ctrlhair_tpu.convert.load import load_native_params
+
+        def sub(name):
+            d = os.path.join(args.trained_root, name, 'checkpoints')
+            return d if os.path.isdir(d) else None
+        load_native_params(backend.editor,
+                           color_texture_dir=sub('color_texture'),
+                           shape_dir=sub('shape'),
+                           rgb_predictor_dir=sub('color_encoder'),
+                           curliness_predictor_dir=sub(
+                               'curliness_classifier'))
+        print(f'loaded trained checkpoints from {args.trained_root}',
+              flush=True)
     backend.set_input_img(backend.crop_face(read_rgb(args.input)))
+
+    if args.auto:
+        save_dir = args.save_dir or os.path.join(
+            'model_trained', f'{args.att}_dir_used')
+        os.makedirs(args.out_dir, exist_ok=True)
+        dirs_, report = auto_curate(
+            backend, args.att, n_candidates=args.n, seed=args.seed,
+            save_dir=save_dir,
+            report_path=os.path.join(args.out_dir,
+                                     f'{args.att}_curation.json'))
+        for r in report:
+            print(f"slot {r['slot']} ({r['label']}): candidate "
+                  f"{r['candidate']} slope {r['slope']:+.5f} "
+                  f"score {r['score']:.2f}", flush=True)
+        # sweep grid per shipped slot for visual audit
+        _render_chosen_grids(backend, args.att, dirs_, args.out_dir)
+        print(f'{len(dirs_)} directions shipped to {save_dir}', flush=True)
+        return
+
     candidates = render_candidate_grids(
         backend, args.att, args.out_dir, n_candidates=args.n,
         seed=args.seed)
@@ -54,6 +93,25 @@ def main(argv=None):
         save_direction(save_dir, args.index, candidates[args.choose])
         print(f'saved candidate {args.choose} as slot {args.index} '
               f'in {save_dir}', flush=True)
+
+
+def _render_chosen_grids(backend, att_name, directions, out_dir,
+                         values=(-2.0, -1.0, 0.0, 1.0, 2.0)):
+    import jax.numpy as jnp
+
+    from ctrlhair_tpu.utils.image import Canvas
+
+    for i, d in enumerate(directions):
+        canvas = Canvas(1, len(values), cell=backend.cfg.edit_size)
+        saved = getattr(backend.cur_latent, att_name)
+        for c, val in enumerate(values):
+            backend.continue_change_with_direction(att_name,
+                                                   jnp.asarray(d), val)
+            canvas.paste(0, c, backend.output())
+        backend.cur_latent = backend.cur_latent.replace(**{att_name: saved})
+        if att_name == 'shape':
+            backend.refresh_cur_mask()
+        canvas.save(os.path.join(out_dir, f'slot_{i}_{att_name}.png'))
 
 
 if __name__ == '__main__':

@@ -51,3 +51,68 @@ def test_render_candidate_grids(tmp_path, tiny_editor):
             assert abs(float(np.dot(c, np.asarray(e)))) < 1e-4
     # the latent is restored after rendering
     assert be.cur_latent.texture.shape == (1, 8)
+
+
+def test_auto_curate_ships_all_slots(tmp_path, tiny_editor):
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        SHAPE_SLOTS, TEXTURE_SLOTS, auto_curate)
+    be = Backend(maximum_value_fe=2.5, blending=False,
+                 cfg=tiny_editor.cfg, editor=tiny_editor)
+    rng = np.random.default_rng(5)
+    be.set_input_img(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    for att, slots in (('shape', SHAPE_SLOTS), ('texture', TEXTURE_SLOTS)):
+        save_dir = str(tmp_path / f'{att}_dir_used')
+        before = np.asarray(getattr(be.cur_latent, att)).copy()
+        dirs_, report = auto_curate(
+            be, att, n_candidates=max(len(slots) + 1, 3),
+            values=(-1.0, 0.0, 1.0), seed=1, save_dir=save_dir,
+            report_path=str(tmp_path / f'{att}.json'))
+        assert len(dirs_) == len(slots)
+        assert [r['label'] for r in report] == slots
+        # +slider increases the labelled metric (sign canonicalisation)
+        for r in report:
+            assert r['slope'] * 1.0 >= 0 or abs(r['slope']) < 1e-12
+        # unit norm + pairwise orthogonal (independent sliders)
+        for i, a in enumerate(dirs_):
+            assert abs(np.linalg.norm(a) - 1.0) < 1e-4
+            for b in dirs_[i + 1:]:
+                assert abs(float(np.dot(a, b))) < 1e-4
+        # persisted in the Backend's auto-load contract
+        got = load_directions(save_dir)
+        assert got is not None and len(got) == len(slots)
+        # latent restored after curation
+        np.testing.assert_allclose(
+            np.asarray(getattr(be.cur_latent, att)), before)
+
+
+def test_shape_and_texture_metrics_respond():
+    from ctrlhair_tpu.constants import HAIR_IDX
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        _face_band, shape_metrics, texture_metrics)
+    mask = np.zeros((64, 64), np.int32)
+    mask[20:40, 20:44] = 1           # face skin
+    mask[22:24, 24:40] = 6           # brows
+    band = _face_band(mask)
+    (r0, r1), (c0, c1) = band
+    assert r0 == 20 and r1 == 22
+    short = mask.copy()
+    short[10:20, 16:48] = HAIR_IDX   # cap of hair above the face
+    long = short.copy()
+    long[20:60, 10:16] = HAIR_IDX    # hair falling past the jaw
+    ms, ml = shape_metrics(short, band), shape_metrics(long, band)
+    assert ml['length'] > ms['length']
+    assert ml['volume'] > ms['volume']
+    fringe = short.copy()
+    fringe[20:22, 20:32] = HAIR_IDX  # left-side fringe in the band
+    mf = shape_metrics(fringe, band)
+    assert mf['bangs'] > ms['bangs']
+    assert mf['bangs_direction'] > 0
+    # texture: noise in the hair region is less smooth than flat grey
+    rng = np.random.default_rng(0)
+    flat = np.full((64, 64, 3), 128, np.uint8)
+    noisy = flat.copy()
+    noisy[short == HAIR_IDX] = rng.integers(0, 255, (int(
+        (short == HAIR_IDX).sum()), 3), dtype=np.uint8).astype(np.uint8)
+    tf, tn = (texture_metrics(i, short) for i in (flat, noisy))
+    assert tn['smoothness'] < tf['smoothness']
+    assert tn['thickness'] > tf['thickness']
