@@ -66,7 +66,12 @@ class ColorTextureTrainer:
             # round-2-proven counterparts; the unweighted rec gradient is
             # computed in its own program and summed (scaled by the
             # schedule weight) into the G update inside the main step.
-            self._rec_jit = jax.jit(self._rec_img_grads)
+            # WarmJit: even split out, the rec program embeds a SEAN decode
+            # backward (~40 min through the relay's compile service, which
+            # drops connections at that scale) — a pre-serialized executable
+            # (scripts/seed_train_cache.py ct_rec) sidesteps it entirely.
+            from ctrlhair_tpu.utils.aot_cache import WarmJit
+            self._rec_jit = WarmJit('ct_rec_img_grads', self._rec_img_grads)
 
             def _split_step(state, batch, predictor_params, rng,
                             host_step=None):

@@ -86,6 +86,60 @@ def main():
         print(f'sean_d_step: compiled in {td:.1f}s -> {path}', flush=True)
         print(f'sean split-step total compile: {tg + td:.1f}s', flush=True)
 
+    if 'ct_rec' in fams:
+        # The color-texture trainer's split-out rec_img program (a SEAN
+        # decode forward+backward at 256px): ~40 min through the relay's
+        # compile service, which sporadically drops connections at that
+        # scale — so retry until one attempt survives, then serialize.
+        # Arg signature must match scripts/train_soak.py's ct stage
+        # exactly (same editor seed -> same baked-in frozen SEAN params).
+        from ctrlhair_tpu.config import ColorTextureConfig, PipelineConfig
+        from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+        from ctrlhair_tpu.training.color_texture_trainer import (
+            ColorTextureTrainer)
+        editor = HairEditorTPU(PipelineConfig(), seed=0)
+        cfg = ColorTextureConfig()
+        tr = ColorTextureTrainer(cfg, sean=editor.sean,
+                                 sean_params=editor.params['sean'],
+                                 rec_img_subset=4, split_rec_img=True)
+        state, _ = tr.init_state(jax.random.PRNGKey(0))
+        B = cfg.total_batch_size
+        r = np.random.default_rng(0)
+        f32 = lambda *s: jnp.asarray(r.standard_normal(s), jnp.float32)
+        batch = {
+            'code': f32(B, cfg.style_dim),
+            'rgb_mean': f32(B, 3),
+            'pca_std': f32(B, 1),
+            'noise': f32(B, cfg.noise_dim),
+            'noise_curliness': f32(B, 1),
+            'curliness_label': f32(B, 1),
+            'sean_code': f32(4, 19, 512),
+            'label': jnp.asarray(r.integers(0, 19, (4, 256, 256)),
+                                 jnp.int32),
+            'image': f32(4, 256, 256, 3),
+        }
+        args = (state.gen.params, state.dis.params, batch)
+        attempts = int(os.environ.get('CT_REC_ATTEMPTS', '6'))
+        for attempt in range(attempts):
+            t0 = time.time()
+            try:
+                compiled = tr._rec_jit.lower(*args).compile()
+                break
+            except Exception as e:  # noqa: BLE001 — relay drops surface
+                # as generic XlaRuntimeError(UNAVAILABLE)/OSError
+                print(f'ct_rec compile attempt {attempt + 1}/{attempts} '
+                      f'failed after {time.time() - t0:.0f}s: {e!r}',
+                      flush=True)
+                if attempt == attempts - 1:
+                    raise
+                time.sleep(90)
+        path = aot_cache.save_executable('ct_rec_img_grads', compiled, args)
+        (loss, grads) = compiled(*args)
+        jax.block_until_ready(loss)
+        print(f'ct_rec_img_grads: compiled+serialized+ran in '
+              f'{time.time() - t0:.1f}s -> {path} '
+              f'({os.path.getsize(path) / 1e6:.1f} MB)', flush=True)
+
     if 'bisenet' in fams:
         from ctrlhair_tpu.config import BiSeNetConfig
         from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
