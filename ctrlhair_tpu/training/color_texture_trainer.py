@@ -85,7 +85,7 @@ class ColorTextureTrainer:
                     return self._step_jit(state, batch, predictor_params,
                                           rng)
                 rec = self._rec_jit(state.gen.params, state.dis.params,
-                                    batch)
+                                    batch, self.sean_params)
                 return self._step_jit(state, batch, predictor_params, rng,
                                       rec)
 
@@ -153,13 +153,21 @@ class ColorTextureTrainer:
         gan_out_fake = self.dis.apply(params_d, gan_mid)
         return d_res_real, ae_mid, ae_out, gan_in, gan_mid, gan_out_fake
 
-    def _rec_img_hair_mse(self, params_g, params_d, batch):
+    def _rec_img_hair_mse(self, params_g, params_d, batch,
+                          sean_params=None):
         """Unweighted render-through-frozen-SEAN hair reconstruction MSE
         (ref: solver.py:270-299) as a function of the generator params via
         the AE path (D-encode -> generate -> hair-code swap -> SEAN
         decode).  The AE path is deterministic given (params, batch), so
-        this recomputation is exactly the fused step's value."""
+        this recomputation is exactly the fused step's value.
+
+        sean_params: pass the frozen SEAN tree EXPLICITLY when this runs
+        as its own jitted program — closed over, jit embeds the whole tree
+        as HLO constants, and the resulting multi-hundred-MB program is
+        what the environment's remote-compile service drops mid-transfer.
+        Defaults to the closure for the fused in-step use."""
         from ctrlhair_tpu.constants import HAIR_IDX
+        sp = self.sean_params if sean_params is None else sean_params
         k = min(self.rec_img_subset, batch['sean_code'].shape[0])
         d_res_real = self.dis.apply(params_d, {'code': batch['code']})
         ae_mid = {'noise': d_res_real['noise'],
@@ -169,16 +177,16 @@ class ColorTextureTrainer:
         ae_out = self.gen.apply(params_g, ae_mid)
         codes = batch['sean_code'][:k].at[:, HAIR_IDX].set(
             ae_out['code'][:k])
-        render = self.sean.apply(self.sean_params, batch['label'][:k],
+        render = self.sean.apply(sp, batch['label'][:k],
                                  codes, method=self.sean.decode)
         hair = (batch['label'][:k] == HAIR_IDX)[..., None]
         diff = (batch['image'][:k] - render) ** 2 * hair
         return jnp.sum(diff) / jnp.maximum(jnp.sum(hair) * 3.0, 1.0)
 
-    def _rec_img_grads(self, params_g, params_d, batch):
+    def _rec_img_grads(self, params_g, params_d, batch, sean_params=None):
         """Split-program half: (unweighted rec_img loss, its G-grads)."""
         return jax.value_and_grad(self._rec_img_hair_mse)(
-            params_g, params_d, batch)
+            params_g, params_d, batch, sean_params)
 
     def _train_step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
                     predictor_params: Dict[str, Any], rng: jax.Array,

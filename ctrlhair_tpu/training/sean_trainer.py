@@ -111,13 +111,19 @@ class SEANTrainer:
             # program size): two roughly half-size programs compile much
             # faster; `fake` stays on device between them, so steady-state
             # cost is one extra dispatch
+            # vgg_params ride as a runtime ARGUMENT, not a closure: closed
+            # over, jit embeds the whole VGG19 tree as HLO constants and
+            # the program balloons ~1000x (measured on the ct rec program:
+            # 882 MB -> 0.8 MB of HLO), which is what made this compile
+            # take ~40 min through the relay
             self.g_step = WarmJit('sean_g_step', self._g_step,
                                   donate_argnums=(0,))
             self.d_step = WarmJit('sean_d_step', self._d_step,
                                   donate_argnums=(0,))
 
             def _two_program_step(state, batch, rng):
-                state, fake_sg, gm = self.g_step(state, batch, rng)
+                state, fake_sg, gm = self.g_step(state, batch, rng,
+                                                 self.vgg_params)
                 state, dm = self.d_step(state, batch, fake_sg)
                 m = {**gm, **dm}
                 m['finite'] = gm['g_finite'] & dm['finite']
@@ -125,8 +131,15 @@ class SEANTrainer:
 
             self.train_step = _two_program_step
         else:
-            self.train_step = WarmJit('sean_train_step', self._train_step,
-                                      donate_argnums=(0,))
+            self.train_step_jit = WarmJit('sean_train_step',
+                                          self._train_step,
+                                          donate_argnums=(0,))
+
+            def _fused_step(state, batch, rng):
+                return self.train_step_jit(state, batch, rng,
+                                           self.vgg_params)
+
+            self.train_step = _fused_step
 
     def init_state(self, rng: jax.Array) -> SEANTrainState:
         cfg = self.cfg
@@ -154,17 +167,19 @@ class SEANTrainer:
         return jnp.concatenate([label_oh, img], axis=-1)
 
     def _train_step(self, state: SEANTrainState,
-                    batch: Dict[str, jnp.ndarray], rng: jax.Array):
+                    batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                    vgg_params=None):
         """Fused G+D step (one XLA program).
         batch: {'image': [N,S,S,3] in [-1,1], 'label': [N,S,S] int}."""
-        state, fake_sg, gm = self._g_step(state, batch, rng)
+        state, fake_sg, gm = self._g_step(state, batch, rng, vgg_params)
         state, dm = self._d_step(state, batch, fake_sg)
         m = {**gm, **dm}
         m['finite'] = gm['g_finite'] & dm['finite']
         return state, m
 
     def _g_step(self, state: SEANTrainState,
-                batch: Dict[str, jnp.ndarray], rng: jax.Array):
+                batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                vgg_params=None):
         """Generator half: G forward+losses+update, returns the detached
         fake for the D half.  Each half gates its own update on its own
         gradient finiteness (the reference has no finite-gating at all)."""
@@ -212,8 +227,9 @@ class SEANTrainer:
             losses = {'adv': adv, 'feat': fm}
             total = adv + self.lambda_feat * fm
             if self.use_vgg:
-                vf = self.vgg.apply(self.vgg_params, vgg_preprocess(fake))
-                vr = self.vgg.apply(self.vgg_params, vgg_preprocess(img))
+                vp = self.vgg_params if vgg_params is None else vgg_params
+                vf = self.vgg.apply(vp, vgg_preprocess(fake))
+                vr = self.vgg.apply(vp, vgg_preprocess(img))
                 weights = [1 / 32, 1 / 16, 1 / 8, 1 / 4, 1.0]
                 vgg_l = sum(w * jnp.mean(jnp.abs(a - b))
                             for w, a, b in zip(weights, vf, vr))

@@ -41,9 +41,9 @@ def main():
                  'label': jnp.asarray(r.integers(
                      0, 19, (bs, cfg.crop_size, cfg.crop_size)),
                      jnp.int32)}
-        args = (state, batch, jax.random.PRNGKey(7))
+        args = (state, batch, jax.random.PRNGKey(7), tr.vgg_params)
         t0 = time.time()
-        compiled = tr.train_step.lower(*args).compile()
+        compiled = tr.train_step_jit.lower(*args).compile()
         path = aot_cache.save_executable('sean_train_step', compiled, args)
         out_state, metrics = compiled(*args)
         jax.block_until_ready(metrics)
@@ -69,7 +69,7 @@ def main():
                  'label': jnp.asarray(r.integers(
                      0, 19, (bs, cfg.crop_size, cfg.crop_size)),
                      jnp.int32)}
-        g_args = (state, batch, jax.random.PRNGKey(7))
+        g_args = (state, batch, jax.random.PRNGKey(7), tr.vgg_params)
         t0 = time.time()
         g_comp = tr.g_step.lower(*g_args).compile()
         tg = time.time() - t0
@@ -118,7 +118,8 @@ def main():
                                  jnp.int32),
             'image': f32(4, 256, 256, 3),
         }
-        args = (state.gen.params, state.dis.params, batch)
+        args = (state.gen.params, state.dis.params, batch,
+                editor.params['sean'])
         attempts = int(os.environ.get('CT_REC_ATTEMPTS', '6'))
         for attempt in range(attempts):
             t0 = time.time()
