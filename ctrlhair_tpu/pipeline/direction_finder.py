@@ -38,7 +38,15 @@ def save_direction(dir_path: str, index: int, direction: np.ndarray) -> None:
 
 def load_directions(dir_path: str) -> Optional[List[np.ndarray]]:
     if not os.path.isdir(dir_path):
-        return None
+        # relative contract paths (model_trained/..., ref hair_editor.py:82)
+        # also resolve against the repo root, so shipped pickles load no
+        # matter the caller's CWD
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        rooted = os.path.join(repo, dir_path)
+        if os.path.isabs(dir_path) or not os.path.isdir(rooted):
+            return None
+        dir_path = rooted
     out = []
     for name in sorted(os.listdir(dir_path)):
         if not name.endswith('.pkl'):

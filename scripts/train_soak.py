@@ -276,10 +276,142 @@ def main():
         with open(prep_marker, 'w') as f:
             f.write('done')
 
+    # ---------------- B0: BiSeNet parser on the pseudo-labels.  Round-2's
+    # soak curated directions through a RANDOM-INIT parser, so every
+    # analysis mask downstream was noise.  Training the parser on the same
+    # pseudo-labels the rest of the soak uses makes analyze_image produce
+    # the geometry the codes were computed from — the whole E/F stage
+    # (curation scores, sweep canvases, slider grids) becomes meaningful.
+    # (ref training: external_code/face_parsing/train.py, OHEM CE 3 heads.)
+    from ctrlhair_tpu.constants import CELEBA_TO_BISENET
+    from ctrlhair_tpu.models.bisenet import normalize_imagenet
+    from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+    import cv2
+    from PIL import Image
+
+    bn_steps = int(os.environ.get('SOAK_BISENET_STEPS', '1500'))
+    bn_trainer = BiSeNetTrainer(editor.cfg.bisenet)
+    bn_state = bn_trainer.init_state(jax.random.PRNGKey(3))
+    bn_state_path = os.path.join(work, 'soak_state', 'bisenet.msgpack')
+    os.makedirs(os.path.dirname(bn_state_path), exist_ok=True)
+    bn_rows = []
+    bn_start = 0
+    resumed_bn = load_train_state(bn_state_path, bn_state)
+    if resumed_bn is not None:
+        bn_state, bn_rows = resumed_bn
+        bn_start = min(int(np.asarray(bn_state.step)), bn_steps)
+        bn_rows = [r for r in bn_rows if r['step'] < bn_start]
+        stamp(f'bisenet: resumed full train state at step {bn_start}')
+
+    # device-resident pool at the staged 256px; per-batch gather + mirror +
+    # 2x upsample to the parser's 512 run on device (labels pre-remapped to
+    # BiSeNet class order on host: a [N,512,512] 19-entry gather crawls on
+    # TPU, numpy does 200 maps in ms)
+    bn_imgs, bn_labs = [], []
+    for k in catalog.train_items:
+        bn_imgs.append(cv2.cvtColor(cv2.imread(catalog.image_path(k)),
+                                    cv2.COLOR_BGR2RGB))
+        la = np.asarray(Image.open(catalog.label_path(k))).astype(np.int64)
+        bn_labs.append(CELEBA_TO_BISENET[la].astype(np.uint8))
+    bn_img_d = jnp.asarray(np.stack(bn_imgs))          # [T,256,256,3] u8
+    bn_lab_d = jnp.asarray(np.stack(bn_labs))          # [T,256,256]   u8
+    bn_T = bn_img_d.shape[0]
+    bn_B = 16
+    bn_size = editor.cfg.bisenet.input_size
+
+    @jax.jit
+    def make_bn_batch(key):
+        ki, km = jax.random.split(key)
+        idx = jax.random.randint(ki, (bn_B,), 0, bn_T)
+        mir = jax.random.randint(km, (bn_B,), 0, 2) == 1
+        img = jnp.take(bn_img_d, idx, axis=0).astype(jnp.float32)
+        lab = jnp.take(bn_lab_d, idx, axis=0).astype(jnp.int32)
+        img = jnp.where(mir[:, None, None, None], img[:, :, ::-1], img)
+        lab = jnp.where(mir[:, None, None], lab[:, :, ::-1], lab)
+        rep = bn_size // img.shape[1]
+        img = jnp.repeat(jnp.repeat(img, rep, axis=1), rep, axis=2)
+        lab = jnp.repeat(jnp.repeat(lab, rep, axis=1), rep, axis=2)
+        return {'image': normalize_imagenet(img / 255.0), 'label': lab}
+
+    t0 = time.time()
+    for step in range(bn_start, bn_steps):
+        batch = make_bn_batch(jax.random.PRNGKey(3_000_000 + step))
+        if step == bn_start:
+            bn_state, m = retry_compile(bn_trainer.train_step, bn_state,
+                                        batch, jax.random.PRNGKey(step))
+            stamp(f'bisenet train_step compiled+first run in '
+                  f'{time.time() - t0:.1f}s')
+        else:
+            bn_state, m = bn_trainer.train_step(bn_state, batch,
+                                                jax.random.PRNGKey(step))
+        if step % 100 == 0 or step == bn_steps - 1:
+            bn_rows.append({'step': step,
+                            **{k: float(v) for k, v in m.items()}})
+            if step % 500 == 0:
+                stamp(f'bisenet step {step}: main='
+                      f'{bn_rows[-1]["main"]:.3f}')
+        if step % 500 == 499 or step == bn_steps - 1:
+            save_train_state(bn_state_path, bn_state, bn_rows)
+    bn_dt = time.time() - t0
+    bn_done = bn_steps - bn_start
+    stamp(f'bisenet: {bn_done} steps this run in {bn_dt:.0f}s '
+          f'({bn_done / max(bn_dt, 1e-9):.1f} steps/s)')
+
+    # install the trained parser: keep only the inference-net keys (the
+    # trainer's return_aux adds conv_out16/32 heads the editor net lacks)
+    bn_params_full = jax.tree_util.tree_map(np.asarray,
+                                            bn_state.model.params['params'])
+    infer_keys = set(editor.params['bisenet']['params'].keys())
+    stat_keys = set(editor.params['bisenet']['batch_stats'].keys())
+    bn_stats_full = jax.tree_util.tree_map(np.asarray, bn_state.stats)
+    bn_variables = {
+        'params': {k: v for k, v in bn_params_full.items()
+                   if k in infer_keys},
+        'batch_stats': {k: v for k, v in bn_stats_full.items()
+                        if k in stat_keys},
+    }
+    editor.params = dict(editor.params, bisenet=jax.tree_util.tree_map(
+        jnp.asarray, bn_variables))
+    save_checkpoint(os.path.join(work, 'model_trained', 'bisenet',
+                                 'checkpoints'),
+                    bn_variables, bn_steps, max_keep=2)
+    # held-out sanity: pixel accuracy + hair IoU of the parser vs the
+    # pseudo-labels through the editor's OWN _parse path (CelebA order)
+    from ctrlhair_tpu.constants import HAIR_IDX as _HAIR
+    ev = catalog.test_items[:8] if catalog.test_items \
+        else catalog.train_items[:8]
+    accs, ious = [], []
+    for k in ev:
+        img = cv2.cvtColor(cv2.imread(catalog.image_path(k)),
+                           cv2.COLOR_BGR2RGB)
+        gt = np.asarray(Image.open(catalog.label_path(k))).astype(np.int32)
+        pred = np.asarray(editor.parse(
+            editor.params, jnp.asarray(img)[None]))[0]
+        pred = cv2.resize(pred.astype(np.uint8), gt.shape[::-1],
+                          interpolation=cv2.INTER_NEAREST).astype(np.int32)
+        accs.append(float((pred == gt).mean()))
+        inter = ((pred == _HAIR) & (gt == _HAIR)).sum()
+        union = ((pred == _HAIR) | (gt == _HAIR)).sum()
+        ious.append(float(inter / max(union, 1)))
+    summary['bisenet'] = {
+        'steps': bn_steps, 'seconds': round(bn_dt, 1),
+        'steps_per_sec': round(bn_done / max(bn_dt, 1e-9), 2),
+        'final': bn_rows[-1] if bn_rows else None,
+        'eval_pixel_acc': round(float(np.mean(accs)), 4),
+        'eval_hair_iou': round(float(np.mean(ious)), 4)}
+    stamp(f'bisenet installed: pixel acc {np.mean(accs):.4f}, '
+          f'hair IoU {np.mean(ious):.4f}')
+    with open(os.path.join(ART, 'bisenet_losses.json'), 'w') as f:
+        json.dump(bn_rows, f)
+    plot_curves(bn_rows, ['main', 'aux16', 'aux32', 'total'],
+                os.path.join(ART, 'bisenet_losses.png'),
+                f'BiSeNet parser soak ({bn_steps} steps, batch {bn_B})')
+    del bn_img_d, bn_lab_d, bn_state
+
     # ---------------- B: predictors
     from ctrlhair_tpu.data.color_texture_dataset import ColorTextureDataset
     from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
-    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
 
     ct_cfg = dataclasses.replace(
         ColorTextureConfig(),
