@@ -60,28 +60,42 @@ def _load():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
-        lib.arap_solve_2d.restype = ctypes.c_int
-        lib.arap_solve_2d.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.rasterize_warp_composite.restype = ctypes.c_int
-        lib.rasterize_warp_composite.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int),
-        ]
+            _bind_symbols(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a kept binary predating one of the entry
+            # points (e.g. built before raster.cpp existed).  Force one
+            # rebuild from current sources; on any failure keep the
+            # documented None-fallback contract instead of crashing.
+            if not build_native(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                _bind_symbols(lib)
+            except (OSError, AttributeError):
+                return None
         _lib = lib
         return _lib
+
+
+def _bind_symbols(lib) -> None:
+    lib.arap_solve_2d.restype = ctypes.c_int
+    lib.arap_solve_2d.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.rasterize_warp_composite.restype = ctypes.c_int
+    lib.rasterize_warp_composite.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
 
 
 def rasterize_warp_composite(verts_dst: np.ndarray, tris: np.ndarray,
@@ -108,6 +122,8 @@ def rasterize_warp_composite(verts_dst: np.ndarray, tris: np.ndarray,
     if v.ndim != 2 or v.shape[1] != 2 or u.shape != v.shape \
             or t.ndim != 2 or t.shape[1] != 3:
         return None
+    # the one place the output grid is chosen; C validates divisibility
+    # and writes exactly [out_n, out_n]
     out_n = (out_size if out_size and out_size != size
              and size % out_size == 0 else size)
     out = np.empty((out_n, out_n), np.int32)
@@ -117,7 +133,7 @@ def rasterize_warp_composite(verts_dst: np.ndarray, tris: np.ndarray,
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         tot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), big,
         face.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), size,
-        int(pad), int(hair_idx), int(unknown_label), int(out_size),
+        int(pad), int(hair_idx), int(unknown_label), int(out_n),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     if ret != 0:
         return None

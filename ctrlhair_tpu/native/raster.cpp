@@ -30,15 +30,16 @@ extern "C" {
 // uv:    [V,2] doubles (normalised source coords)
 // total: [big,big] float32 padded+smeared hair mask
 // face:  [size,size] int32 target parsing (size = big - 2*pad)
-// out:   [out_n,out_n] int32 composite parsing (out_n = out_size when the
-//        crop decimates evenly, else size)
+// out:   [out_n,out_n] int32 composite parsing.  out_n is chosen by the
+//        caller (ctrlhair_tpu/native/__init__.py) and must decimate size
+//        evenly; out_n <= 0 means "no decimation" (out_n = size).
 int rasterize_warp_composite(
     const double* verts, int n_verts,
     const int* tris, int n_tris,
     const double* uv,
     const float* total, int big,
     const int* face, int size,
-    int pad, int hair_idx, int unknown_label, int out_size,
+    int pad, int hair_idx, int unknown_label, int out_n,
     int* out) {
   if (big <= 0 || size <= 0 || big != size + 2 * pad) return 1;
 
@@ -105,8 +106,8 @@ int rasterize_warp_composite(
   }
 
   // bilinear-sample the mask at uv*big, threshold, crop, composite.
-  const int out_n = (out_size > 0 && out_size != size
-                     && size % out_size == 0) ? out_size : size;
+  if (out_n <= 0) out_n = size;
+  if (out_n > size || size % out_n != 0) return 2;
   const int stride = size / out_n;
   for (int oy = 0; oy < out_n; ++oy) {
     const int yy = oy * stride;           // coords in the cropped domain

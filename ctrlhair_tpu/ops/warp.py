@@ -448,7 +448,10 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
     if need_crop:
         hair_img = _crop_for_warp(np.asarray(hair_img), editor, crop_size)
         face_img = _crop_for_warp(np.asarray(face_img), editor, crop_size)
-        hair_parse512 = face_parse512 = None   # crops invalidate any cache
+        # crops invalidate every cached input: parses AND landmarks were
+        # estimated in the pre-crop geometry
+        hair_parse512 = face_parse512 = None
+        hair_lm81 = face_lm81 = None
 
     if hair_parse512 is None or face_parse512 is None:
         hair_img, face_img = np.asarray(hair_img), np.asarray(face_img)

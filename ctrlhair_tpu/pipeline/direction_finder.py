@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -160,8 +160,8 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
     vals = np.asarray(values, np.float64)
     vc = vals - vals.mean()
     saved = getattr(backend.cur_latent, att_name)
-    slopes = []
-    for d in cands:
+
+    def measure_slopes(d: np.ndarray) -> Dict[str, float]:
         rows = []
         for v in values:
             backend.continue_change_with_direction(att_name,
@@ -176,9 +176,11 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
         backend.cur_latent = backend.cur_latent.replace(**{att_name: saved})
         if att_name == 'shape':
             backend.refresh_cur_mask()
-        slopes.append({
+        return {
             m: float(np.dot(vc, [r[m] for r in rows]) / np.dot(vc, vc))
-            for m in rows[0]})
+            for m in rows[0]}
+
+    slopes = [measure_slopes(d) for d in cands]
 
     # z-normalise |slope| per metric across candidates so selectivity is
     # comparable between metrics with different units
@@ -196,8 +198,6 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
         used.add(pick)
         flip = -1.0 if z[m][pick] < 0 else 1.0
         chosen.append(flip * cands[pick])
-        # report the slope AS SHIPPED (after the sign flip): +slider
-        # increases the labelled metric
         report.append({'slot': slot_idx, 'label': m, 'candidate': int(pick),
                        'slope': flip * slopes[pick][m],
                        'score': float(score[pick]),
@@ -214,6 +214,17 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
         ortho.append(v / n if n > 1e-6 else d.astype(np.float64))
     chosen = [o.astype(np.float32) for o in ortho]
 
+    # the orthogonalised vector is no longer the one that was scored:
+    # re-measure each SHIPPED direction, re-sign it so +slider still
+    # increases its labelled metric, and report the as-shipped slope
+    for slot_idx, m in enumerate(slots):
+        shipped = measure_slopes(chosen[slot_idx])
+        if shipped[m] < 0:
+            chosen[slot_idx] = -chosen[slot_idx]
+            shipped = {k: -v for k, v in shipped.items()}
+        report[slot_idx]['slope'] = shipped[m]
+        report[slot_idx]['all_slopes'] = shipped
+
     if save_dir:
         for i, d in enumerate(chosen):
             save_direction(save_dir, i, d)
@@ -226,25 +237,31 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
 def render_candidate_grids(backend, att_name: str, out_dir: str,
                            n_candidates: int = 20,
                            values: Sequence[float] = (-2, -1, 0, 1, 2),
-                           seed: int = 0) -> List[np.ndarray]:
-    """Render a sweep grid per candidate direction for manual selection
+                           seed: int = 0,
+                           directions: Optional[Sequence[np.ndarray]] = None,
+                           name_fmt: str = 'candidate_{i:03d}.png'
+                           ) -> List[np.ndarray]:
+    """Render a sweep grid per direction for manual selection
     (ref: color_texture_branch/script_find_direction.py:27-74).
 
-    Requires backend.set_input_img to have been called.  Returns the
-    candidate directions; grids land in out_dir/candidate_<i>.png.
+    Requires backend.set_input_img to have been called.  With `directions`
+    given, renders exactly those (evidence grids for shipped pickles);
+    otherwise draws n_candidates fresh orthogonal candidates.  Returns the
+    directions; grids land in out_dir/<name_fmt>.
     """
     import jax.numpy as jnp
-    from ctrlhair_tpu.utils.image import Canvas, to_uint8
+    from ctrlhair_tpu.utils.image import Canvas
 
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    dim = int(getattr(backend.cur_latent, att_name).shape[-1])
-    existing = list(backend.texture_dirs if att_name == 'texture'
-                    else backend.shape_dirs)
-    candidates = []
-    for i in range(n_candidates):
-        d = random_orthogonal_direction(dim, existing, rng)
-        candidates.append(d)
+    if directions is None:
+        rng = np.random.default_rng(seed)
+        dim = int(getattr(backend.cur_latent, att_name).shape[-1])
+        existing = list(backend.texture_dirs if att_name == 'texture'
+                        else backend.shape_dirs)
+        directions = [random_orthogonal_direction(dim, existing, rng)
+                      for _ in range(n_candidates)]
+    directions = list(directions)
+    for i, d in enumerate(directions):
         cell = backend.cfg.edit_size
         canvas = Canvas(1, len(values), cell=cell)
         saved = getattr(backend.cur_latent, att_name)
@@ -257,5 +274,5 @@ def render_candidate_grids(backend, att_name: str, out_dir: str,
             **{att_name: saved})
         if att_name == 'shape':
             backend.refresh_cur_mask()
-        canvas.save(os.path.join(out_dir, f'candidate_{i:03d}.png'))
-    return candidates
+        canvas.save(os.path.join(out_dir, name_fmt.format(i=i)))
+    return directions

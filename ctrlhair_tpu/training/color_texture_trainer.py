@@ -79,8 +79,8 @@ class ColorTextureTrainer:
                 the rec program entirely while its schedule weight is 0 —
                 without it the weight lives on device and checking it would
                 cost a host sync per step."""
-                skip = (host_step is not None and float(
-                    self.schedule.weight('lambda_rec_img', host_step)) == 0.0)
+                skip = (host_step is not None and self.schedule.weight_host(
+                    'lambda_rec_img', host_step) == 0.0)
                 if 'sean_code' not in batch or skip:
                     return self._step_jit(state, batch, predictor_params,
                                           rng)

@@ -130,6 +130,18 @@ class LossSchedule:
             out = jnp.where(step >= s, jnp.asarray(v, jnp.float32), out)
         return out
 
+    def weight_host(self, name: str, step: int) -> float:
+        """Pure-Python weight for a concrete host step: no jnp ops, no
+        device dispatch — usable in per-step host control flow (the split
+        rec_img skip check runs every training step)."""
+        if name in self.static:
+            return self.static[name]
+        out = None
+        for s, v in self.scheduled[name].items():   # sorted at __init__
+            if out is None or step >= s:
+                out = v
+        return float(out)
+
     def total(self, loss_dict: Dict[str, jnp.ndarray], step) -> jnp.ndarray:
         """Weighted sum; keys absent from the config are skipped, matching
         the reference's `if k not in cfg: continue`

@@ -63,7 +63,10 @@ def code_fingerprint() -> str:
             for fn in sorted(files):
                 if fn.endswith('.py'):
                     p = os.path.join(root, fn)
-                    h.update(p.encode())
+                    # package-relative: the fingerprint must survive the
+                    # checkout being relocated (absolute paths would
+                    # silently invalidate every warm artifact)
+                    h.update(os.path.relpath(p, pkg).encode())
                     with open(p, 'rb') as f:
                         h.update(f.read())
         _CODE_FP = h.hexdigest()[:16]
@@ -168,8 +171,15 @@ class WarmJit:
                 return exe(*args)
             except Exception:
                 # e.g. a device-assignment mismatch (artifact built on a
-                # different device topology): poison and fall back to jit
+                # different device topology): poison and fall back to jit.
+                # But if the failed executable already consumed a donated
+                # input (it failed mid-execution, not at the pre-execution
+                # checks), re-running on deleted buffers would only raise a
+                # confusing secondary error — surface the original instead.
                 self._by_sig[sig] = None
+                for leaf in jax.tree_util.tree_leaves(args):
+                    if getattr(leaf, 'is_deleted', lambda: False)():
+                        raise
         return self.jit(*args)
 
     # passthroughs used by seeding / advanced callers

@@ -97,21 +97,11 @@ def main(argv=None):
 
 def _render_chosen_grids(backend, att_name, directions, out_dir,
                          values=(-2.0, -1.0, 0.0, 1.0, 2.0)):
-    import jax.numpy as jnp
-
-    from ctrlhair_tpu.utils.image import Canvas
-
-    for i, d in enumerate(directions):
-        canvas = Canvas(1, len(values), cell=backend.cfg.edit_size)
-        saved = getattr(backend.cur_latent, att_name)
-        for c, val in enumerate(values):
-            backend.continue_change_with_direction(att_name,
-                                                   jnp.asarray(d), val)
-            canvas.paste(0, c, backend.output())
-        backend.cur_latent = backend.cur_latent.replace(**{att_name: saved})
-        if att_name == 'shape':
-            backend.refresh_cur_mask()
-        canvas.save(os.path.join(out_dir, f'slot_{i}_{att_name}.png'))
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        render_candidate_grids)
+    render_candidate_grids(backend, att_name, out_dir, values=values,
+                           directions=directions,
+                           name_fmt=f'slot_{{i}}_{att_name}.png')
 
 
 if __name__ == '__main__':

@@ -215,7 +215,10 @@ def retry_compile(fn, *args, attempts=4, wait=90):
             return fn(*args)
         except Exception as e:   # noqa: BLE001
             msg = str(e)
-            if 'UNAVAILABLE' not in msg and 'Network Error' not in msg:
+            transient = any(s in msg for s in (
+                'UNAVAILABLE', 'Network Error', 'Broken pipe',
+                'Connection reset', 'Socket closed'))
+            if not transient:
                 raise
             stamp(f'relay dropped the compile (attempt {i + 1}/{attempts}: '
                   f'{msg[:120]}); retrying in {wait}s')
@@ -787,7 +790,10 @@ def main():
         length = (rows[-1] / m.shape[0]) if rows.size else 0.0
         forehead = hair[int(0.30 * 256):int(0.42 * 256),
                         int(0.35 * 256):int(0.65 * 256)].mean()
-        return np.array([area, length, forehead])
+        # signed left/right hair-mass asymmetry (bangs_direction slot)
+        half = m.shape[1] // 2
+        asym = hair[:, :half].mean() - hair[:, half:].mean()
+        return np.array([area, length, forehead, asym])
 
     cands, scores = [], []
     for i in range(24):
@@ -796,31 +802,33 @@ def main():
         lo = mask_stats(base_shape - 2.0 * d[None])
         hi = mask_stats(base_shape + 2.0 * d[None])
         scores.append(hi - lo)
-    scores = np.stack(scores)                    # [24,3] deltas
-    chosen, chosen_idx = [], []
-    for sem in (1, 0, 2):                        # length, volume, bangs
+    scores = np.stack(scores)                    # [24,4] deltas
+    # slot order must match direction_finder.SHAPE_SLOTS / the UI sliders:
+    # 0=length, 1=volume, 2=bangs_direction (asymmetry), 3=bangs (coverage)
+    sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
+    stat_of_slot = {0: 1, 1: 0, 2: 3, 3: 2}   # slot -> mask_stats column
+    chosen, chosen_idx = {}, []
+    for slot in (0, 1, 3, 2):   # assign most-selective sems first
+        sem = stat_of_slot[slot]
         order = np.argsort(-np.abs(scores[:, sem]))
         for idx in order:
             if idx not in chosen_idx:
-                d = cands[idx] * np.sign(scores[idx, sem])
-                chosen.append(d)
+                chosen[slot] = cands[idx] * np.sign(scores[idx, sem])
                 chosen_idx.append(idx)
                 break
-    # 4th: largest remaining overall mover
-    rest = [i for i in range(len(cands)) if i not in chosen_idx]
-    idx = rest[int(np.argmax(np.abs(scores[rest]).sum(1)))]
-    chosen.append(cands[idx])
-    sem_names = ['length', 'volume', 'bangs', 'misc']
     shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
     shutil.rmtree(shape_dir_out, ignore_errors=True)
-    for i, d in enumerate(chosen):
-        save_direction(shape_dir_out, i, d.astype(np.float32))
+    for slot in range(4):
+        save_direction(shape_dir_out, slot,
+                       chosen[slot].astype(np.float32))
+    slot_idx = {slot: chosen_idx[i]
+                for i, slot in enumerate((0, 1, 3, 2))}
     summary['shape_dirs'] = {
-        sem_names[i]: [round(float(v), 4)
-                       for v in scores[chosen_idx[i]]]
-        for i in range(3)}
+        sem_names[slot]: [round(float(v), 4)
+                          for v in scores[slot_idx[slot]]]
+        for slot in range(4)}
     stamp(f'shape directions curated: '
-          f'{[(sem_names[i], chosen_idx[i]) for i in range(3)]}')
+          f'{[(sem_names[s], slot_idx[s]) for s in range(4)]}')
 
     # texture directions: 2 orthogonal candidates maximising rendered hair
     # pixel variance response
