@@ -116,11 +116,23 @@ def load_native_params(editor, *,
     params = dict(editor.params)
     rng = jax.random.PRNGKey(seed)
 
-    def restore(ckpt_dir, make_state):
+    def restore(ckpt_dir, *make_targets):
+        """Restore the newest checkpoint against the first target structure
+        that matches.  Two checkpoint contracts exist: the training loop
+        saves the FULL train state (training/loop.py:93), while deployment
+        checkpoints (scripts/train_soak.py) save the reduced inference
+        pytree — both must load here.
+        """
         if not ckpt_dir or not os.path.isdir(ckpt_dir):
             return None
-        res = load_checkpoint(ckpt_dir, make_state())
-        return res[0] if res else None
+        for make in make_targets:
+            try:
+                res = load_checkpoint(ckpt_dir, make())
+            except Exception:   # noqa: BLE001 — structure mismatch
+                continue
+            if res is not None:
+                return res[0]
+        return None
 
     def variables(model_params, stats):
         # trainers store model.params as the single-collection variables
@@ -134,39 +146,78 @@ def load_native_params(editor, *,
         from ctrlhair_tpu.training.color_texture_trainer import (
             ColorTextureTrainer)
         tr = ColorTextureTrainer(editor.cfg.color_texture)
-        st = restore(color_texture_dir, lambda: tr.init_state(rng)[0])
+
+        def ct_reduced():
+            st = tr.init_state(rng)[0]
+            return {'gen': st.gen.params, 'dis': st.dis.params}
+
+        st = restore(color_texture_dir, ct_reduced,
+                     lambda: tr.init_state(rng)[0])
         if st is not None:
             # gen/dis hold the FULL variables dict (init collections)
-            params['ct_gen'] = st.gen.params
-            params['ct_dis'] = st.dis.params
+            if isinstance(st, dict):
+                params['ct_gen'] = st['gen']
+                params['ct_dis'] = st['dis']
+            else:
+                params['ct_gen'] = st.gen.params
+                params['ct_dis'] = st.dis.params
 
     if shape_dir:
         from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
         tr = ShapeTrainer(editor.cfg.shape)
-        st = restore(shape_dir, lambda: tr.init_state(rng))
+        st = restore(
+            shape_dir,
+            lambda: {'gen': tr.init_state(rng).gen.params},
+            lambda: tr.init_state(rng))
         if st is not None:
-            params['shape'] = st.gen.params
+            params['shape'] = st['gen'] if isinstance(st, dict) \
+                else st.gen.params
+
+    def predictor_targets(tr, editor_key):
+        def editor_shaped():
+            # deployment checkpoints (train_soak) are saved in the
+            # editor's own inference param structure
+            return jax.tree_util.tree_map(lambda x: x,
+                                          params[editor_key])
+
+        def reduced_with_stats():
+            st = tr.init_state(rng)
+            return variables(st.model.params, st.stats)
+
+        def reduced_no_stats():
+            st = tr.init_state(rng)
+            return dict(st.model.params)
+
+        return (editor_shaped, reduced_with_stats, reduced_no_stats,
+                lambda: tr.init_state(rng))
+
+    def predictor_vars(st):
+        if isinstance(st, dict):
+            return st
+        return variables(st.model.params, st.stats)
 
     if rgb_predictor_dir:
         from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
         tr = PredictorTrainer(editor.cfg.rgb_predictor)
-        st = restore(rgb_predictor_dir, lambda: tr.init_state(rng))
+        st = restore(rgb_predictor_dir,
+                     *predictor_targets(tr, 'rgb_pred'))
         if st is not None:
-            params['rgb_pred'] = variables(st.model.params, st.stats)
+            params['rgb_pred'] = predictor_vars(st)
 
     if curliness_predictor_dir:
         from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
         tr = PredictorTrainer(editor.cfg.curliness_predictor)
-        st = restore(curliness_predictor_dir, lambda: tr.init_state(rng))
+        st = restore(curliness_predictor_dir,
+                     *predictor_targets(tr, 'curliness_pred'))
         if st is not None:
-            params['curliness_pred'] = variables(st.model.params, st.stats)
+            params['curliness_pred'] = predictor_vars(st)
 
     if bisenet_dir:
         from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
         tr = BiSeNetTrainer(editor.cfg.bisenet)
-        st = restore(bisenet_dir, lambda: tr.init_state(rng))
+        st = restore(bisenet_dir, *predictor_targets(tr, 'bisenet'))
         if st is not None:
-            params['bisenet'] = variables(st.model.params, st.stats)
+            params['bisenet'] = predictor_vars(st)
 
     if sean_dir:
         from ctrlhair_tpu.training.sean_trainer import SEANTrainer
@@ -213,3 +264,27 @@ def load_reference_tree(editor, root: str) -> Dict[str, Any]:
             'model_trained/curliness_classifier/p002___curliness'),
         style_fallback_dir=os.path.join(
             root, 'sean_codes', 'styles_test', 'mean_style_code', 'median'))
+
+
+def load_trained_root(editor, root: str) -> Dict[str, Any]:
+    """Load every native family checkpoint found under `root` into the
+    editor.  Accepts both the reference's family directory names
+    (color_encoder, curliness_classifier; ref hair_editor.py:101-119) and
+    the soak workdir's (rgb_predictor, curliness_predictor, bisenet).
+    """
+    def sub(*names):
+        for name in names:
+            d = os.path.join(root, name, 'checkpoints')
+            if os.path.isdir(d):
+                return d
+        return None
+
+    return load_native_params(
+        editor,
+        color_texture_dir=sub('color_texture'),
+        shape_dir=sub('shape'),
+        bisenet_dir=sub('bisenet'),
+        sean_dir=sub('sean'),
+        rgb_predictor_dir=sub('color_encoder', 'rgb_predictor'),
+        curliness_predictor_dir=sub('curliness_classifier',
+                                    'curliness_predictor'))

@@ -49,17 +49,8 @@ def main(argv=None):
 
     backend = Backend(blending=False)
     if args.trained_root:
-        from ctrlhair_tpu.convert.load import load_native_params
-
-        def sub(name):
-            d = os.path.join(args.trained_root, name, 'checkpoints')
-            return d if os.path.isdir(d) else None
-        load_native_params(backend.editor,
-                           color_texture_dir=sub('color_texture'),
-                           shape_dir=sub('shape'),
-                           rgb_predictor_dir=sub('color_encoder'),
-                           curliness_predictor_dir=sub(
-                               'curliness_classifier'))
+        from ctrlhair_tpu.convert.load import load_trained_root
+        load_trained_root(backend.editor, args.trained_root)
         print(f'loaded trained checkpoints from {args.trained_root}',
               flush=True)
     backend.set_input_img(backend.crop_face(read_rgb(args.input)))

@@ -1,8 +1,11 @@
 # Render demonstration artefacts from the in-repo sample images on the real
 # chip: parsed masks, colour-slider sweeps, texture samples, and a transfer
 # matrix.  (Weights are randomly initialised unless checkpoints are
-# converted, so outputs demonstrate the pipeline, not trained quality.)
-# Usage: python scripts/make_samples.py [out_dir] [n_images]
+# converted or CTRLHAIR_TRAINED_ROOT points at a model_trained tree — e.g.
+# a train_soak workdir — so outputs demonstrate the pipeline, and trained
+# quality when trained checkpoints are given.)
+# Usage: [CTRLHAIR_TRAINED_ROOT=dir] python scripts/make_samples.py \
+#            [out_dir] [n_images]
 import os
 import sys
 
@@ -28,6 +31,12 @@ def main():
     imgs = [read_rgb(os.path.join(img_root, f)) for f in files]
 
     be = Backend(maximum_value_fe=2.5, blending=True)
+    trained_root = os.environ.get('CTRLHAIR_TRAINED_ROOT')
+    if trained_root:
+        from ctrlhair_tpu.convert.load import load_trained_root
+        load_trained_root(be.editor, trained_root)
+        print(f'[make_samples] loaded trained checkpoints from '
+              f'{trained_root}', flush=True)
     img0, mask_rgb = be.set_input_img(imgs[0])
     write_rgb(os.path.join(out_dir, 'input.png'), img0)
     write_rgb(os.path.join(out_dir, 'parsed_mask.png'),

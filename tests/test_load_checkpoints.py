@@ -77,3 +77,51 @@ def test_load_reference_params_partial(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(before),
                     jax.tree_util.tree_leaves(after)):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.quick
+def test_load_native_reduced_deployment_checkpoints(tmp_path):
+    """The soak's reduced deployment checkpoints ({'gen','dis'} params /
+    editor-shaped variables dicts; scripts/train_soak.py) load through
+    load_native_params just like full train-state checkpoints."""
+    from ctrlhair_tpu.convert.load import load_native_params
+    from ctrlhair_tpu.training.color_texture_trainer import (
+        ColorTextureTrainer)
+    from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+
+    editor = HairEditorTPU(tiny_cfg())
+    rng = jax.random.PRNGKey(7)
+
+    ct = ColorTextureTrainer(editor.cfg.color_texture)
+    ct_state, _ = ct.init_state(rng)
+    save_checkpoint(str(tmp_path / 'color_texture' / 'checkpoints'),
+                    jax.tree_util.tree_map(
+                        np.asarray, {'gen': ct_state.gen.params,
+                                     'dis': ct_state.dis.params}), 123)
+
+    sh = ShapeTrainer(editor.cfg.shape)
+    sh_state = sh.init_state(rng)
+    save_checkpoint(str(tmp_path / 'shape' / 'checkpoints'),
+                    jax.tree_util.tree_map(
+                        np.asarray, {'gen': sh_state.gen.params}), 123)
+
+    # editor-shaped bisenet deployment dict (inference keys only)
+    save_checkpoint(str(tmp_path / 'bisenet' / 'checkpoints'),
+                    jax.tree_util.tree_map(
+                        np.asarray, editor.params['bisenet']), 123)
+
+    load_native_params(
+        editor,
+        color_texture_dir=str(tmp_path / 'color_texture' / 'checkpoints'),
+        shape_dir=str(tmp_path / 'shape' / 'checkpoints'),
+        bisenet_dir=str(tmp_path / 'bisenet' / 'checkpoints'))
+
+    got = jax.tree_util.tree_leaves(editor.params['ct_gen'])
+    want = jax.tree_util.tree_leaves(ct_state.gen.params)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    got = jax.tree_util.tree_leaves(editor.params['shape'])
+    want = jax.tree_util.tree_leaves(sh_state.gen.params)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

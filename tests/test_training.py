@@ -125,6 +125,12 @@ def test_ct_schedule_weights():
     assert float(sch.weight('lambda_rec_img', 599999)) == 0.0
     assert float(sch.weight('lambda_rec_img', 600000)) == 1000.0
     assert float(sch.weight('lambda_rec', 5)) == 1000.0
+    # the pure-host evaluation (used in per-step control flow) must agree
+    # with the traced path at every schedule boundary
+    for name in ('lambda_rec_img', 'lambda_rec'):
+        for step in (0, 1, 599999, 600000, 600001):
+            assert sch.weight_host(name, step) == float(
+                sch.weight(name, step))
 
 
 def test_shape_trainer_step():
