@@ -19,7 +19,11 @@ class SEANConfig:
     semantic_nc: int = 19
     ngf: int = 64
     style_dim: int = 512
-    num_up_layers: int = 5          # 'normal' mode
+    num_up_layers: int = 5          # 'normal' mode: total 2x upsamples
+    # SPADE-resnet middles between the head and the up chain (the reference
+    # always has 2, generator.py:90-96); exposed so tiny dry-run builds can
+    # shrink the graph (compile/trace cost scales with block count)
+    num_middle_blocks: int = 2
     zencoder_ngf: int = 32
     spade_hidden: int = 128
     # additive learned per-channel noise inside ACE (ref normalization.py:111);
@@ -45,6 +49,10 @@ class BiSeNetConfig:
     """Face parser config (ref: external_code/face_parsing/model.py:230-254)."""
     n_classes: int = 19
     input_size: int = 512
+    # ResNet-18 = 2 BasicBlocks per stage (ref: resnet.py:58-80); 1 gives a
+    # ResNet-10-style backbone for tiny dry-run builds (same collective
+    # paths, half the trace/compile cost)
+    blocks_per_stage: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

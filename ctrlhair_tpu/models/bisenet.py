@@ -81,6 +81,7 @@ class ResNet18(nn.Module):
     """Backbone returning 1/8, 1/16, 1/32 features (ref: resnet.py:58-80)."""
     train: bool = False
     axis_name: Any = None    # cross-replica sync-BN under shard_map
+    blocks_per_stage: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -97,7 +98,7 @@ class ResNet18(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')
         for i, (feats, stride) in enumerate(
                 [(64, 1), (128, 2), (256, 2), (512, 2)]):
-            for j in range(2):
+            for j in range(self.blocks_per_stage):
                 x = BasicBlock(feats, stride if j == 0 else 1,
                                train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                                name=f'layer{i + 1}_{j}')(x)
@@ -180,8 +181,10 @@ class BiSeNet(nn.Module):
         """x: [N, H, W, 3], ImageNet-normalised. Returns [N, H, W, n_classes]
         main-head logits, or (main, aux16, aux32) when return_aux."""
         h, w = x.shape[1:3]
-        feat8, feat16, feat32 = ResNet18(train=self.train, axis_name=self.axis_name, dtype=self.dtype,
-                                         name='resnet')(x)
+        feat8, feat16, feat32 = ResNet18(
+            train=self.train, axis_name=self.axis_name,
+            blocks_per_stage=self.cfg.blocks_per_stage, dtype=self.dtype,
+            name='resnet')(x)
         avg = jnp.mean(feat32, axis=(1, 2), keepdims=True)
         avg = ConvBNReLU(128, 1, 1, 0, train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                          name='conv_avg')(avg)

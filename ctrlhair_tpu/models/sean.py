@@ -279,13 +279,18 @@ class SEANGenerator(nn.Module):
         x = TorchConv(16 * nf, 3, 1, 1, dtype=self.dtype, name='fc')(segs[0])
         x = block('head_0', 16 * nf, 16 * nf, x, segs[0])
         x = up(x)
-        x = block('G_middle_0', 16 * nf, 16 * nf, x, segs[1])
-        x = block('G_middle_1', 16 * nf, 16 * nf, x, segs[1])
-        chans = [16 * nf, 8 * nf, 4 * nf, 2 * nf, 1 * nf]
-        for i in range(4):
+        for m in range(cfg.num_middle_blocks):
+            x = block(f'G_middle_{m}', 16 * nf, 16 * nf, x, segs[1])
+        # default (num_up_layers=5): 4 up blocks with channels
+        # 16nf->8nf->4nf->2nf->nf, styles off in the last — exactly the
+        # reference topology (generator.py:97-106); smaller num_up_layers
+        # shortens the chain for dry-run builds
+        n_up = cfg.num_up_layers - 1
+        chans = [16 * nf] + [nf * 2 ** (n_up - 1 - i) for i in range(n_up)]
+        for i in range(n_up):
             x = up(x)
             x = block(f'up_{i}', chans[i], chans[i + 1], x, segs[2 + i],
-                      use_styles=(i < 3))
+                      use_styles=(i < n_up - 1))
         x = TorchConv(3, 3, 1, 1, dtype=self.dtype,
                       name='conv_img')(leaky_relu(x))
         return jnp.tanh(x).astype(jnp.float32)
@@ -329,7 +334,8 @@ class SEAN(nn.Module):
 
     def pyramid_sizes(self) -> Tuple[int, ...]:
         s = self.cfg.start_size
-        return (s, s * 2, s * 4, s * 8, s * 16, s * 32)
+        return tuple(s * 2 ** i
+                     for i in range(self.cfg.num_up_layers + 1))
 
     def encode(self, img: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
         """img [N,H,W,3] in [-1,1]; label [N,H,W] int -> [N,19,512] codes.

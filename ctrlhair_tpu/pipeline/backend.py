@@ -46,10 +46,18 @@ class Backend:
         def dirs(path, dim, n):
             """Curated directions, padded with deterministic orthonormal
             defaults up to the UI's fixed slider count (a partially-curated
-            dir must not shrink the slider set)."""
+            dir must not shrink the slider set).  A degenerate (near-zero)
+            pickle is replaced slot-by-slot with the default: the slider
+            semantics (projection set TO the slider value,
+            ref: ui/backend.py:450-462) need unit-norm directions, and a
+            zero vector would make its slider permanently dead."""
             loaded = load_directions(path) or []
             defaults = latent_ops.semantic_directions(dim, n)
-            return (list(loaded) + list(defaults))[:max(n, len(loaded))]
+            out = (list(loaded) + list(defaults))[:max(n, len(loaded))]
+            for i, d in enumerate(out):
+                if float(np.linalg.norm(np.asarray(d))) < 1e-3:
+                    out[i] = np.asarray(defaults[i % len(defaults)])
+            return out
 
         self.shape_dirs = dirs('model_trained/shape_dir_used', SHAPE_DIM, 4)
         self.texture_dirs = dirs('model_trained/texture_dir_used',

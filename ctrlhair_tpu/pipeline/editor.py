@@ -374,7 +374,6 @@ class HairEditorTPU:
 
     # ------------------------------------------------------------ warm start
     def warm_start(self, batch_sizes: Tuple[int, ...] = (1,),
-                   input_sizes: Tuple[int, ...] = (256,),
                    block: bool = True):
         """Warm every interactive program ahead of first real use.
 
@@ -419,19 +418,20 @@ class HairEditorTPU:
                          (params, codes, lat(b), img256, label)))
             jobs.append((self.decode_mask,
                          (params, lat(b).shape, lat(b).face)))
-            for isz in input_sizes:
-                imgN = jnp.zeros((b, isz, isz, 3), jnp.uint8)
-                label512 = jnp.zeros(
-                    (b, self.cfg.bisenet.input_size,
-                     self.cfg.bisenet.input_size), jnp.int32)
-                if b == 1:
-                    # the interactive path is parse + tail (two small
-                    # programs, see analyze_image)
-                    jobs.append((self.parse, (params, imgN)))
-                    jobs.append((self.analyze_tail,
-                                 (params, img256, label512)))
-                else:
-                    jobs.append((self.analyze, (params, img256, imgN)))
+            # parse input is canonical (512px, host-resized in
+            # analyze_image) — ONE signature per batch regardless of the
+            # caller's image size
+            psz = self.cfg.bisenet.input_size
+            imgP = jnp.zeros((b, psz, psz, 3), jnp.uint8)
+            label512 = jnp.zeros((b, psz, psz), jnp.int32)
+            if b == 1:
+                # the interactive path is parse + tail (two small
+                # programs, see analyze_image)
+                jobs.append((self.parse, (params, imgP)))
+                jobs.append((self.analyze_tail,
+                             (params, img256, label512)))
+            else:
+                jobs.append((self.analyze, (params, img256, imgP)))
 
         def run_all():
             for f, a in jobs:
@@ -445,14 +445,21 @@ class HairEditorTPU:
         return [t]
 
     # ----------------------------------------------------------- convenience
-    def _shrink_for_parse(self, img_rgb: np.ndarray) -> np.ndarray:
-        """Host-side pre-resize of oversized inputs to the parse resolution
-        before upload: cv2 INTER_LINEAR computes the same bilinear _parse
-        would apply on device (same align_corners=False sampling; the only
-        difference is this path's re-quantisation to uint8, <=0.5/255),
-        and shipping 512px instead of 1024px quarters the transfer."""
+    def _to_parse_size(self, img_rgb: np.ndarray) -> np.ndarray:
+        """Host-side resize of ANY input to the canonical parse resolution
+        (512px, matching the reference's fixed parse input,
+        ref: my_parsing_util.py:34) before upload.
+
+        One canonical size means ONE parse program signature covers every
+        source — 256px samples, 1024px photos, web uploads — so the warm
+        serialized executable (utils/aot_cache.py) always hits instead of
+        recompiling through the relay (VERDICT r3 item 6).  cv2
+        INTER_LINEAR computes the same bilinear _parse would apply on
+        device (same align_corners=False sampling; the only difference is
+        this path's re-quantisation to uint8, <=0.5/255), and shipping
+        512px instead of 1024px quarters the uplink."""
         size = self.cfg.bisenet.input_size
-        if img_rgb.shape[0] <= size and img_rgb.shape[1] <= size:
+        if img_rgb.shape[0] == size and img_rgb.shape[1] == size:
             return img_rgb
         try:
             import cv2
@@ -460,7 +467,7 @@ class HairEditorTPU:
                              interpolation=cv2.INTER_LINEAR)
             return np.clip(np.rint(out), 0, 255).astype(np.uint8)
         except ImportError:
-            return img_rgb
+            return img_rgb   # device-side resize in _parse still applies
 
     def crop_face(self, img_rgb: np.ndarray,
                   output_size: Optional[int] = None) -> np.ndarray:
@@ -473,7 +480,7 @@ class HairEditorTPU:
 
         label512 = np.asarray(
             self.parse(self.params,
-                       jnp.asarray(self._shrink_for_parse(img_rgb))[None]
+                       jnp.asarray(self._to_parse_size(img_rgb))[None]
                        )[0].astype(jnp.uint8))   # u8: 4x less downlink
         # landmarks are normalised to the (squashed) parse square: x scales
         # by width, y by height
@@ -490,7 +497,8 @@ class HairEditorTPU:
         from ctrlhair_tpu.ops.resize import resize_bilinear_nhwc, \
             resize_nearest
 
-        label512 = self.parse(self.params, jnp.asarray(img_rgb)[None])
+        label512 = self.parse(self.params,
+                              jnp.asarray(self._to_parse_size(img_rgb))[None])
         label = resize_nearest(label512, (1024, 1024))[0]
         img = resize_bilinear_nhwc(
             jnp.asarray(img_rgb, jnp.float32)[None], (1024, 1024))[0]
@@ -541,7 +549,12 @@ class HairEditorTPU:
         img256 = img if img.shape[1:3] == (s, s) else jnp.clip(jnp.round(
             resize_bilinear_nhwc(img.astype(jnp.float32), (s, s))), 0, 255)
         img256 = img256.astype(jnp.uint8)
+        # canonical parse signature: resize on host to the parser's 512px
+        # input so every source shape dispatches the SAME parse program
+        # (warm-artifact hit; the reference also feeds a fixed 512,
+        # ref: my_parsing_util.py:34)
+        img_parse = jnp.asarray(self._to_parse_size(img_u8))[None]
         if split:
-            label512 = self.parse(self.params, img)
+            label512 = self.parse(self.params, img_parse)
             return self.analyze_tail(self.params, img256, label512)
-        return self.analyze(self.params, img256, img)
+        return self.analyze(self.params, img256, img_parse)

@@ -84,12 +84,16 @@ class SEANTrainer:
                  lambda_vgg: float = 10.0, lr_g: float = 1e-4,
                  lr_d: float = 4e-4, use_vgg: bool = True,
                  vgg_params: Optional[Any] = None,
-                 split_step: bool = False):
+                 split_step: bool = False, dis_num_d: int = 2,
+                 dis_ndf: int = 64, dis_n_layers: int = 4):
         self.cfg = cfg
         self.lambda_feat = lambda_feat
         self.lambda_vgg = lambda_vgg
         self.model = SEAN(cfg)
+        # dis_* default to the reference topology (2-scale C64 4-layer
+        # PatchGAN, discriminator.py:14-62); tiny dry-run builds shrink them
         self.dis = MultiscaleDiscriminator(
+            num_d=dis_num_d, ndf=dis_ndf, n_layers=dis_n_layers,
             input_nc=cfg.semantic_nc + 3)
         self.use_vgg = use_vgg
         self.vgg = VGG19Features() if use_vgg else None

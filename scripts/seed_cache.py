@@ -36,8 +36,13 @@ def main():
     s = cfg.edit_size
     params = editor.params
     img256 = jnp.zeros((1, s, s, 3), jnp.uint8)
-    label512 = jnp.zeros((1, cfg.bisenet.input_size,
-                          cfg.bisenet.input_size), jnp.int32)
+    # parse is seeded at its CANONICAL signature: analyze_image host-resizes
+    # every input to the parser's 512px before dispatch, so this one
+    # artifact covers 256px samples and 1024px photos alike (VERDICT r3
+    # item 6; ref: my_parsing_util.py:34 fixed 512 parse input)
+    psz = cfg.bisenet.input_size
+    img512 = jnp.zeros((1, psz, psz, 3), jnp.uint8)
+    label512 = jnp.zeros((1, psz, psz), jnp.int32)
     label = jnp.zeros((1, s, s), jnp.int32)
 
     force = '--force' in sys.argv
@@ -70,7 +75,7 @@ def main():
               f'-> {path} ({os.path.getsize(path) / 1e6:.1f} MB)',
               flush=True)
 
-    seed('parse', editor.parse, (params, img256))
+    seed('parse', editor.parse, (params, img512))
     seed('analyze_tail', editor.analyze_tail, (params, img256, label512))
     # derive the edit-program seed arguments from a REAL analysis pass so
     # every dtype matches the values the interactive path will feed

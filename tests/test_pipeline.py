@@ -232,3 +232,31 @@ def test_curated_direction_padding(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(be.shape_dirs[0]),
                                   np.arange(16, dtype=np.float32))
     assert len(be.texture_dirs) == 2
+
+
+def test_parse_signature_is_canonical(tiny_editor, monkeypatch):
+    """analyze_image must feed parse ONE canonical signature regardless of
+    the input image size, so a single warm serialized executable covers
+    every source (VERDICT r3 item 6; ref fixed 512 parse input:
+    my_parsing_util.py:34)."""
+    from ctrlhair_tpu.utils import aot_cache
+
+    recorded = []
+    orig = tiny_editor.parse
+
+    def recording_parse(params, img):
+        recorded.append(aot_cache._signature((params, img)))
+        return orig(params, img)
+
+    monkeypatch.setattr(tiny_editor, 'parse', recording_parse)
+    rng = np.random.default_rng(0)
+    for size in (48, 64, 128, 200):
+        img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        tiny_editor.analyze_image(img)
+    assert len(set(recorded)) == 1, recorded
+    # and that signature is the parser-resolution uint8 batch-1 input —
+    # exactly what scripts/seed_cache.py serializes
+    psz = tiny_editor.cfg.bisenet.input_size
+    expect = aot_cache._signature(
+        (tiny_editor.params, jnp.zeros((1, psz, psz, 3), jnp.uint8)))
+    assert recorded[0] == expect
