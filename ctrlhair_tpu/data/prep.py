@@ -221,7 +221,10 @@ def compute_landmarks(editor, catalog: DataCatalog, out_path: str
             continue
         label = np.asarray(Image.open(lp)).astype(np.int32)
         label512 = np.asarray(resize_nearest(jnp.asarray(label), (512, 512)))
-        out[key] = estimate_landmarks_81(label512)
+        ip = catalog.image_path(key)
+        img = (np.asarray(Image.open(ip).convert('RGB'))
+               if os.path.exists(ip) else None)
+        out[key] = estimate_landmarks_81(label512, image=img)
     if out_path:
         with open(out_path, 'wb') as f:
             pickle.dump(out, f)

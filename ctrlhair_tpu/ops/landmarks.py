@@ -420,17 +420,24 @@ def contour_landmarks_81(label_map: np.ndarray) -> np.ndarray:
 
 
 def estimate_landmarks_81(label_map: np.ndarray,
-                          method: str = 'contour',
+                          method: str = 'auto',
                           image: np.ndarray | None = None) -> np.ndarray:
     """[S, S] CelebA label map -> [81, 2] normalised landmarks in [0,1].
 
-    method='contour' (default): parsing-contour estimator above.
+    method='auto' (default): the learned regressor when an RGB `image` is
+        given and trained weights ship in-tree (auto-loaded once from
+        model_trained/landmark_net — the dlib stand-in is the default
+        LIVE path, VERDICT r3 item 5); otherwise the contour estimator.
+    method='contour': parsing-contour estimator above.
     method='net': the learned regressor (load_landmark_net first; pass the
         RGB `image`); falls back to contour when no net is loaded or the
         presence head says no face — the analogue of dlib's detector
         returning no boxes (ref: external_code/landmarks_util.py:30-37).
     method='template': bare fitted template prior.
     """
+    if method == 'auto':
+        method = ('net' if image is not None
+                  and _autoload_landmark_net() else 'contour')
     if method == 'net':
         if image is None:
             raise ValueError("method='net' needs the RGB image")
@@ -444,7 +451,7 @@ def estimate_landmarks_81(label_map: np.ndarray,
 
 
 def estimate_landmarks_68(label_map: np.ndarray,
-                          method: str = 'contour',
+                          method: str = 'auto',
                           image: np.ndarray | None = None) -> np.ndarray:
     return estimate_landmarks_81(label_map, method=method,
                                  image=image)[:68]
@@ -456,6 +463,22 @@ def estimate_landmarks_68(label_map: np.ndarray,
 # (ref: external_code/landmarks_util.py:17-19).
 
 _NET = None  # (model, params, cfg) once loaded
+_AUTOLOAD_TRIED = False
+
+
+def _autoload_landmark_net() -> bool:
+    """Lazy one-shot load of the shipped checkpoint for method='auto';
+    remembers a miss so absent weights cost one directory stat total."""
+    global _AUTOLOAD_TRIED
+    if _NET is not None:
+        return True
+    if _AUTOLOAD_TRIED:
+        return False
+    _AUTOLOAD_TRIED = True
+    try:
+        return load_landmark_net()
+    except Exception:
+        return False
 
 
 def default_landmark_ckpt_dir() -> str:
@@ -491,8 +514,9 @@ def load_landmark_net(ckpt_dir: str | None = None, cfg=None) -> bool:
 
 
 def unload_landmark_net() -> None:
-    global _NET
+    global _NET, _AUTOLOAD_TRIED
     _NET = None
+    _AUTOLOAD_TRIED = False
 
 
 def net_landmarks_81(image: np.ndarray,

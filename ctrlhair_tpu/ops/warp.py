@@ -413,7 +413,7 @@ def _crop_for_warp(img: np.ndarray, editor, crop_size: int) -> np.ndarray:
 
     label512 = np.asarray(
         editor.parse(editor.params, jnp.asarray(img)[None])[0])
-    lm68 = estimate_landmarks_68(label512)
+    lm68 = estimate_landmarks_68(label512, image=img)
     lm68_px = lm68 * np.array([img.shape[1], img.shape[0]], np.float64)
     out, _ = recreate_aligned_image(img, lm68_px, crop_size)
     return out
@@ -472,9 +472,11 @@ def warp_hair_mask_between_images(hair_img: np.ndarray,
         # them directly, avoiding a readback+re-upload through the relay
         hair512 = hair_parse512
         face512 = face_parse512
-    hair_lm = (estimate_landmarks_81(np.asarray(hair512))
+    hair_lm = (estimate_landmarks_81(np.asarray(hair512),
+                                     image=np.asarray(hair_img))
                if hair_lm81 is None else np.asarray(hair_lm81))
-    face_lm = (estimate_landmarks_81(np.asarray(face512))
+    face_lm = (estimate_landmarks_81(np.asarray(face512),
+                                     image=np.asarray(face_img))
                if face_lm81 is None else np.asarray(face_lm81))
     return hair_mask_transfer_warp(hair512, face512, hair_lm, face_lm,
                                    use_arap=use_arap,

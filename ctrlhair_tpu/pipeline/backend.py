@@ -113,7 +113,10 @@ class Backend:
             # landmark estimation and the host rasterizer across every
             # subsequent transfer
             self._parse512_np[key] = np.asarray(self._parse512[key])
-            self._lm81[key] = estimate_landmarks_81(self._parse512_np[key])
+            img = self.target_img if key == 'target' else self.input_img
+            self._lm81[key] = estimate_landmarks_81(
+                self._parse512_np[key],
+                image=None if img is None else np.asarray(img))
         return self._lm81.get(key)
 
     def _resized256(self, img_rgb: np.ndarray) -> np.ndarray:

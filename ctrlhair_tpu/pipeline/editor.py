@@ -484,7 +484,8 @@ class HairEditorTPU:
                        )[0].astype(jnp.uint8))   # u8: 4x less downlink
         # landmarks are normalised to the (squashed) parse square: x scales
         # by width, y by height
-        lm68 = estimate_landmarks_68(label512.astype(np.int32)) \
+        lm68 = estimate_landmarks_68(label512.astype(np.int32),
+                                     image=img_rgb) \
             * np.array([img_rgb.shape[1], img_rgb.shape[0]], np.float64)
         out, _ = recreate_aligned_image(
             img_rgb, lm68, output_size or self.cfg.edit_size)
