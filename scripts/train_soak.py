@@ -117,25 +117,43 @@ def refine_parse_to_image(img, lab, rng):
                      np.ones((11, 11), np.uint8)) > 0
     if seed.sum() < 200:
         seed = hair0
-    mu = blur[seed].mean(axis=0)
-    sd = blur[seed].std(axis=0) + 8.0
+    # ROBUST colour model: the template's hair ring overlaps background in
+    # many photos, so mean/std over the raw seed blow the tolerance up and
+    # the grown mask swallows the frame (caught visually: hair area 0.46).
+    # Median+MAD, one refit on the inlier seed, a tighter growth
+    # neighbourhood, and an area cap keep the mask hair-sized.
+    px = blur[seed]
+    mu = np.median(px, axis=0)
+    sd = 1.4826 * np.median(np.abs(px - mu), axis=0) + 4.0
+    inlier = (((px - mu) / sd) ** 2).sum(axis=-1) < 4.0
+    if inlier.sum() > 200:
+        mu = np.median(px[inlier], axis=0)
+        sd = 1.4826 * np.median(np.abs(px[inlier] - mu), axis=0) + 4.0
     dist = (((blur - mu) / sd) ** 2).sum(axis=-1)
-    cand = dist < float(rng.uniform(5.0, 7.0))   # per-image tolerance
     allowed = cv2.dilate(hair0.astype(np.uint8),
-                         np.ones((31, 31), np.uint8)) > 0
+                         np.ones((15, 15), np.uint8)) > 0
     protected = np.isin(lab, [L['l_eye'], L['r_eye'], L['l_brow'],
                               L['r_brow'], L['nose'], L['mouth'],
                               L['u_lip'], L['l_lip']])
-    new_hair = ((cand & allowed & ~protected) | seed)
-    new_hair = cv2.morphologyEx(new_hair.astype(np.uint8),
-                                cv2.MORPH_CLOSE,
-                                np.ones((9, 9), np.uint8)) > 0
-    # keep only components that touch the seed (drop matched clutter)
-    n_cc, cc = cv2.connectedComponents(new_hair.astype(np.uint8))
-    keep = np.zeros(n_cc, bool)
-    keep[np.unique(cc[seed])] = True
-    keep[0] = False
-    new_hair = keep[cc]
+    core = seed & (dist < 9.0)      # seed pixels the colour model accepts
+    if core.sum() < 200:
+        core = seed
+    tau = float(rng.uniform(5.0, 7.0))   # per-image tolerance
+    cap = 1.45 * hair0.mean()
+    while True:
+        new_hair = (((dist < tau) & allowed & ~protected) | core)
+        new_hair = cv2.morphologyEx(new_hair.astype(np.uint8),
+                                    cv2.MORPH_CLOSE,
+                                    np.ones((9, 9), np.uint8)) > 0
+        # keep only components that touch the seed (drop matched clutter)
+        n_cc, cc = cv2.connectedComponents(new_hair.astype(np.uint8))
+        keep = np.zeros(n_cc, bool)
+        keep[np.unique(cc[core])] = True
+        keep[0] = False
+        new_hair = keep[cc]
+        if new_hair.mean() <= cap or tau <= 1.5:
+            break
+        tau *= 0.7
 
     out = lab.copy()
     # released template-hair pixels: skin if adjacent to the face, else bg
