@@ -26,9 +26,20 @@ import jax
 
 
 def warm_dir() -> str:
-    return os.environ.get(
-        'CTRLHAIR_WARM_DIR',
-        f'/tmp/ctrlhair_warm_{jax.default_backend()}')
+    """Warm-artifact store.  Defaults INSIDE the checkout
+    (artifacts/warm_<backend>, gitignored): /tmp is wiped on host
+    restarts, and a wiped store means the next deployment process
+    recompiles every interactive program through the relay (round 3 lost
+    its benchmark record to exactly that class of cold start).  Artifacts
+    are content-fingerprinted (code_fingerprint), so a stale store is
+    never served — only re-seeded."""
+    env = os.environ.get('CTRLHAIR_WARM_DIR')
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, 'artifacts',
+                        f'warm_{jax.default_backend()}')
 
 
 def _signature(args: Tuple[Any, ...]) -> str:
