@@ -367,7 +367,7 @@ def main():
         # budget running out, must not cost the headline JSON or the others
         margins = {'device_slope_extra': 60, 'shape_edit_extra': 90,
                    'analyze_extra': 90, 'transfer_and_sweep_extra': 240,
-                   'full_1024_input_extra': 180}
+                   'full_1024_extra': 180}
         for fn in (device_slope_extra, shape_edit_extra, analyze_extra,
                    transfer_and_sweep_extra, full_1024_extra):
             need = margins.get(fn.__name__, 120)

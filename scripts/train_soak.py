@@ -547,7 +547,18 @@ def main():
         resumed = load_checkpoint(out_dir, variables)
         if resumed is not None and resumed[1] >= pcfg.total_step:
             pred_params[which] = resumed[0]
-            stamp(f'predictor[{which}] resumed from checkpoint')
+            # still record held-out metrics so a resumed soak's
+            # summary.json carries them (they were lost on resume before)
+            rv = dict(resumed[0])
+            rstats = rv.pop('batch_stats', {})
+            tb = dataset.test_batch(64)
+            if which == 'curliness':
+                tb = dataset.curliness_batch(64)
+            test_m = tr.eval_metrics(rv, rstats, {
+                k: jnp.asarray(v) for k, v in tb.items() if k != 'items'})
+            pred_metrics[which] = {k: float(v) for k, v in test_m.items()}
+            stamp(f'predictor[{which}] resumed from checkpoint; '
+                  f'held-out {pred_metrics[which]}')
             continue
         rng = np.random.default_rng(1)
         rows = []
@@ -874,118 +885,144 @@ def main():
     names = sorted(f for f in os.listdir(src) if f.endswith('.png'))
     be.set_input_img(read_rgb(os.path.join(src, names[0])))
 
-    # shape directions: score candidates by geometric semantics of the
-    # decoded mask sweep (hair area = volume, lowest hair row = length,
-    # forehead coverage = bangs) — a measurable stand-in for the
-    # reference's manual grid curation (ref: script_find_direction.py)
-    base_shape = be.cur_latent.shape
-    face_code = be.cur_latent.face
-    rng = np.random.default_rng(7)
-
-    def mask_stats(shape_vec):
-        m = np.asarray(editor.decode_mask(
-            editor.params, jnp.asarray(shape_vec, jnp.float32),
-            face_code))[0]
-        hair = m == HAIR_IDX
-        area = hair.mean()
-        rows = np.nonzero(hair.any(axis=1))[0]
-        length = (rows[-1] / m.shape[0]) if rows.size else 0.0
-        forehead = hair[int(0.30 * 256):int(0.42 * 256),
-                        int(0.35 * 256):int(0.65 * 256)].mean()
-        # signed left/right hair-mass asymmetry (bangs_direction slot)
-        half = m.shape[1] // 2
-        asym = hair[:, :half].mean() - hair[:, half:].mean()
-        return np.array([area, length, forehead, asym])
-
-    # candidates are built as ONE mutually-orthonormal set (Gram-Schmidt
-    # against the already-drawn ones, matching the reference's
-    # find_semantic_direction contract, ref: util/find_semantic_direction.
-    # py:12-21): the chosen per-slot directions are then orthogonal unit
-    # vectors, so the be2fe projections don't cross-talk.  16-d latent ->
-    # at most 16 orthogonal candidates.
-    cands, scores = [], []
-    for i in range(16):
-        d = random_orthogonal_direction(16, cands, rng)
-        cands.append(d)
-        lo = mask_stats(base_shape - 2.0 * d[None])
-        hi = mask_stats(base_shape + 2.0 * d[None])
-        scores.append(hi - lo)
-    scores = np.stack(scores)                    # [16,4] deltas
-    # slot order must match direction_finder.SHAPE_SLOTS / the UI sliders:
-    # 0=length, 1=volume, 2=bangs_direction (asymmetry), 3=bangs (coverage)
-    sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
-    stat_of_slot = {0: 1, 1: 0, 2: 3, 3: 2}   # slot -> mask_stats column
-    chosen, chosen_idx = {}, []
-    for slot in (0, 1, 3, 2):   # assign most-selective sems first
-        sem = stat_of_slot[slot]
-        order = np.argsort(-np.abs(scores[:, sem]))
-        for idx in order:
-            if idx not in chosen_idx:
-                # sign-canonicalise WITHOUT np.sign: a zero score must not
-                # zero the direction (round-3 shipped two dead sliders
-                # exactly this way — dir norms 0.0 in the r3 pickles)
-                s = 1.0 if scores[idx, sem] >= 0 else -1.0
-                chosen[slot] = cands[idx] * s
-                chosen_idx.append(idx)
-                break
+    # Curation is deterministic (seeded rngs) but ~20 min of device time;
+    # a marker + the shipped pickles let a crashed stage-F run resume
+    # without rescoring (the r4 soak died mid-F once already).
+    dir_done_path = os.path.join(work, 'soak_state', 'directions.json')
     shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
-    shutil.rmtree(shape_dir_out, ignore_errors=True)
-    for slot in range(4):
-        save_direction(shape_dir_out, slot,
-                       chosen[slot].astype(np.float32))
-    slot_idx = {slot: chosen_idx[i]
-                for i, slot in enumerate((0, 1, 3, 2))}
-    summary['shape_dirs'] = {
-        sem_names[slot]: [round(float(v), 4)
-                          for v in scores[slot_idx[slot]]]
-        for slot in range(4)}
-    stamp(f'shape directions curated: '
-          f'{[(sem_names[s], slot_idx[s]) for s in range(4)]}')
-
-    # texture directions: 2 orthogonal candidates maximising rendered hair
-    # pixel variance response
-    rng2 = np.random.default_rng(11)
-    base = be.cur_latent
-
-    def tex_response(d):
-        outs = []
-        for v in (-2.0, 2.0):
-            lat = base.replace(texture=base.texture + v * d[None])
-            img = np.asarray(be.output(lat)).astype(np.float32)
-            outs.append(img)
-        return float(np.abs(outs[1] - outs[0]).mean())
-
-    pool = []
-    for _ in range(8):
-        # append as we go: the pool must be mutually orthonormal (the
-        # original comprehension passed a never-updated list, so the two
-        # shipped texture dirs could overlap)
-        pool.append(random_orthogonal_direction(8, pool, rng2))
-    responses = [tex_response(d) for d in pool]
-    order = np.argsort(-np.asarray(responses))
     tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
-    shutil.rmtree(tex_dir_out, ignore_errors=True)
-    for i, idx in enumerate(order[:2]):
-        save_direction(tex_dir_out, i, pool[idx].astype(np.float32))
-    summary['texture_dir_response'] = [round(responses[i], 3)
-                                       for i in order[:2]]
-    stamp(f'texture directions curated (responses '
-          f'{[round(responses[i], 3) for i in order[:2]]})')
+    if (os.path.exists(dir_done_path) and os.path.isdir(shape_dir_out)
+            and os.path.isdir(tex_dir_out)):
+        with open(dir_done_path) as f:
+            _dd = json.load(f)
+        summary['shape_dirs'] = _dd['shape_dirs']
+        summary['texture_dir_response'] = _dd['texture_dir_response']
+        stamp('directions already curated (marker found); skipping rescore')
+    else:
+        # shape directions: score candidates by geometric semantics of the
+        # decoded mask sweep (hair area = volume, lowest hair row = length,
+        # forehead coverage = bangs) — a measurable stand-in for the
+        # reference's manual grid curation (ref: script_find_direction.py)
+        base_shape = be.cur_latent.shape
+        face_code = be.cur_latent.face
+        rng = np.random.default_rng(7)
+
+        def mask_stats(shape_vec):
+            m = np.asarray(editor.decode_mask(
+                editor.params, jnp.asarray(shape_vec, jnp.float32),
+                face_code))[0]
+            hair = m == HAIR_IDX
+            area = hair.mean()
+            rows = np.nonzero(hair.any(axis=1))[0]
+            length = (rows[-1] / m.shape[0]) if rows.size else 0.0
+            forehead = hair[int(0.30 * 256):int(0.42 * 256),
+                            int(0.35 * 256):int(0.65 * 256)].mean()
+            # signed left/right hair-mass asymmetry (bangs_direction slot)
+            half = m.shape[1] // 2
+            asym = hair[:, :half].mean() - hair[:, half:].mean()
+            return np.array([area, length, forehead, asym])
+
+        # candidates are built as ONE mutually-orthonormal set (Gram-Schmidt
+        # against the already-drawn ones, matching the reference's
+        # find_semantic_direction contract, ref: util/find_semantic_direction.
+        # py:12-21): the chosen per-slot directions are then orthogonal unit
+        # vectors, so the be2fe projections don't cross-talk.  16-d latent ->
+        # at most 16 orthogonal candidates.
+        cands, scores = [], []
+        for i in range(16):
+            d = random_orthogonal_direction(16, cands, rng)
+            cands.append(d)
+            lo = mask_stats(base_shape - 2.0 * d[None])
+            hi = mask_stats(base_shape + 2.0 * d[None])
+            scores.append(hi - lo)
+        scores = np.stack(scores)                    # [16,4] deltas
+        # slot order must match direction_finder.SHAPE_SLOTS / the UI sliders:
+        # 0=length, 1=volume, 2=bangs_direction (asymmetry), 3=bangs (coverage)
+        sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
+        stat_of_slot = {0: 1, 1: 0, 2: 3, 3: 2}   # slot -> mask_stats column
+        chosen, chosen_idx = {}, []
+        for slot in (0, 1, 3, 2):   # assign most-selective sems first
+            sem = stat_of_slot[slot]
+            order = np.argsort(-np.abs(scores[:, sem]))
+            for idx in order:
+                if idx not in chosen_idx:
+                    # sign-canonicalise WITHOUT np.sign: a zero score must not
+                    # zero the direction (round-3 shipped two dead sliders
+                    # exactly this way — dir norms 0.0 in the r3 pickles)
+                    s = 1.0 if scores[idx, sem] >= 0 else -1.0
+                    chosen[slot] = cands[idx] * s
+                    chosen_idx.append(idx)
+                    break
+        shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
+        shutil.rmtree(shape_dir_out, ignore_errors=True)
+        for slot in range(4):
+            save_direction(shape_dir_out, slot,
+                           chosen[slot].astype(np.float32))
+        slot_idx = {slot: chosen_idx[i]
+                    for i, slot in enumerate((0, 1, 3, 2))}
+        summary['shape_dirs'] = {
+            sem_names[slot]: [round(float(v), 4)
+                              for v in scores[slot_idx[slot]]]
+            for slot in range(4)}
+        stamp(f'shape directions curated: '
+              f'{[(sem_names[s], slot_idx[s]) for s in range(4)]}')
+
+        # texture directions: 2 orthogonal candidates maximising rendered hair
+        # pixel variance response
+        rng2 = np.random.default_rng(11)
+        base = be.cur_latent
+
+        def tex_response(d):
+            outs = []
+            for v in (-2.0, 2.0):
+                lat = base.replace(texture=base.texture + v * d[None])
+                img = np.asarray(be.output(lat)).astype(np.float32)
+                outs.append(img)
+            return float(np.abs(outs[1] - outs[0]).mean())
+
+        pool = []
+        for _ in range(8):
+            # append as we go: the pool must be mutually orthonormal (the
+            # original comprehension passed a never-updated list, so the two
+            # shipped texture dirs could overlap)
+            pool.append(random_orthogonal_direction(8, pool, rng2))
+        responses = [tex_response(d) for d in pool]
+        order = np.argsort(-np.asarray(responses))
+        tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
+        shutil.rmtree(tex_dir_out, ignore_errors=True)
+        for i, idx in enumerate(order[:2]):
+            save_direction(tex_dir_out, i, pool[idx].astype(np.float32))
+        summary['texture_dir_response'] = [round(responses[i], 3)
+                                           for i in order[:2]]
+        stamp(f'texture directions curated (responses '
+              f'{[round(responses[i], 3) for i in order[:2]]})')
+        with open(dir_done_path, 'w') as f:
+            json.dump({'shape_dirs': summary['shape_dirs'],
+                       'texture_dir_response':
+                           summary['texture_dir_response']}, f)
 
     # ---------------- F: validation canvases + summary
+    # every artifact below is skip-if-exists so a crashed F resumes at the
+    # first missing output instead of re-rendering ~40 min of grids
     from ctrlhair_tpu.training import validation as V
-    res = editor.analyze_image(np.asarray(be.input_img))
-    lat = res['latent']
-    base_data = {'noise_curliness': lat.curliness,
-                 'rgb_mean': lat.rgb_mean(), 'pca_std': lat.pca_std}
-    V.ct_latent_sweep_canvas(
-        editor, editor.params['ct_gen'], res['sean_codes'], res['label'],
-        base_data, out_path=os.path.join(ART, 'ct_sweep_canvas.png'),
-        values=(-2.0, -1.0, 0.0, 1.0, 2.0))
-    V.shape_sweep_canvas(
-        editor, editor.params['shape'], lat.face, lat.shape,
-        out_path=os.path.join(ART, 'shape_sweep_canvas.png'),
-        values=(-2.0, 0.0, 2.0), dims=(0, 1, 2, 3))
+    ct_canvas = os.path.join(ART, 'ct_sweep_canvas.png')
+    shape_canvas = os.path.join(ART, 'shape_sweep_canvas.png')
+    if not (os.path.exists(ct_canvas) and os.path.exists(shape_canvas)):
+        res = editor.analyze_image(np.asarray(be.input_img))
+        lat = res['latent']
+        base_data = {'noise': lat.texture,
+                     'noise_curliness': lat.curliness,
+                     'rgb_mean': lat.rgb_mean(), 'pca_std': lat.pca_std}
+        if not os.path.exists(ct_canvas):
+            V.ct_latent_sweep_canvas(
+                editor, editor.params['ct_gen'], res['sean_codes'],
+                res['label'], base_data, out_path=ct_canvas,
+                values=(-2.0, -1.0, 0.0, 1.0, 2.0))
+        if not os.path.exists(shape_canvas):
+            V.shape_sweep_canvas(
+                editor, editor.params['shape'], lat.face, lat.shape,
+                out_path=shape_canvas,
+                values=(-2.0, 0.0, 2.0), dims=(0, 1, 2, 3))
 
     # slider grids for the SHIPPED directions (evidence for curation)
     from ctrlhair_tpu.pipeline.direction_finder import render_candidate_grids
@@ -996,21 +1033,27 @@ def main():
     grid_dir = os.path.join(ART, 'direction_grids')
     os.makedirs(grid_dir, exist_ok=True)
     for i in range(4):
+        out_png = os.path.join(grid_dir, f'shape_dir{i}.png')
+        if os.path.exists(out_png):
+            continue
         imgs = []
         for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
             be2.set_input_img(read_rgb(os.path.join(src, names[0])))
             be2.change_shape(v, i)
             imgs.append(be2.output())
-        write_rgb(os.path.join(grid_dir, f'shape_dir{i}.png'),
-                  np.concatenate(imgs, axis=1))
+        write_rgb(out_png, np.concatenate(imgs, axis=1))
+        stamp(f'grid shape_dir{i} written')
     for i in range(2):
+        out_png = os.path.join(grid_dir, f'texture_dir{i}.png')
+        if os.path.exists(out_png):
+            continue
         imgs = []
         for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
             be2.set_input_img(read_rgb(os.path.join(src, names[0])))
             be2.change_texture(v, i)
             imgs.append(be2.output())
-        write_rgb(os.path.join(grid_dir, f'texture_dir{i}.png'),
-                  np.concatenate(imgs, axis=1))
+        write_rgb(out_png, np.concatenate(imgs, axis=1))
+        stamp(f'grid texture_dir{i} written')
 
     summary['total_seconds'] = round(time.time() - t00, 1)
     with open(os.path.join(ART, 'summary.json'), 'w') as f:
