@@ -35,6 +35,25 @@ def test_save_load_roundtrip_and_backend_autoload(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_shipped_direction_pickles_load_and_are_sound():
+    """The curated pickles committed under model_trained/ (soak stage E)
+    must load from the checkout regardless of CWD, fill every UI slot,
+    and be unit-norm + mutually orthogonal — the runtime slider contract
+    (ref: hair_editor.py:82-119, ui/backend.py:211-226)."""
+    for rel, dim, n in (('model_trained/shape_dir_used', 16, 4),
+                        ('model_trained/texture_dir_used', 8, 2)):
+        got = load_directions(rel)
+        assert got is not None and len(got) == n, rel
+        mat = np.stack(got)
+        assert mat.shape == (n, dim)
+        # unit-norm (a zero pickle = a permanently dead slider, the r3 bug)
+        np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0,
+                                   atol=1e-4)
+        # mutually orthogonal: be2fe projections must not cross-talk
+        gram = mat @ mat.T
+        np.testing.assert_allclose(gram, np.eye(n), atol=1e-4)
+
+
 def test_render_candidate_grids(tmp_path, tiny_editor):
     be = Backend(maximum_value_fe=2.5, blending=False,
                  cfg=tiny_editor.cfg, editor=tiny_editor)
