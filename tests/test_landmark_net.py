@@ -4,6 +4,8 @@
 # Ref contract: external_code/landmarks_util.py:17-55 (detector + 68/81
 # shape predictors behind module-level singletons).
 
+import os
+
 import numpy as np
 import pytest
 
@@ -123,6 +125,51 @@ def test_load_estimate_fallback(tiny_cfg, tmp_path):
     out = LM.estimate_landmarks_81(label, method='net', image=img)
     np.testing.assert_allclose(
         out, LM.contour_landmarks_81(label), atol=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir('/root/reference/imgs'),
+                    reason='reference sample photos not present')
+def test_shipped_net_on_real_photos():
+    """Detector-signal proof on REAL photographs (the synthetic suite
+    can't prove this): the shipped net must accept every in-repo
+    CelebA-HQ/FFHQ sample (presence >= 0.9) with sane geometry — eyes
+    above mouth above chin, face spanning a plausible fraction of the
+    aligned crop — and reject noise / flat / gradient non-faces.
+    Ref runtime analogue: the dlib frontal detector + predictors,
+    external_code/landmarks_util.py:17-19."""
+    from ctrlhair_tpu.ops import landmarks as LM
+    from ctrlhair_tpu.utils.image import read_rgb
+
+    LM.unload_landmark_net()
+    if not LM.load_landmark_net():
+        pytest.skip('no trained landmark_net checkpoint in-tree')
+    try:
+        root = '/root/reference/imgs'
+        files = sorted(f for f in os.listdir(root) if f.endswith('.png'))
+        sel = files[::max(len(files) // 12, 1)][:12]
+        assert len(sel) >= 8
+        for f in sel:
+            res = LM.net_landmarks_81(read_rgb(os.path.join(root, f)))
+            assert res is not None, f'{f}: face rejected'
+            lm, presence = res
+            assert presence >= 0.9, (f, presence)
+            assert lm.min() >= 0.0 and lm.max() <= 1.0, f
+            eyes_y = lm[36:48, 1].mean()
+            mouth_y = lm[48:68, 1].mean()
+            chin_y = lm[8, 1]
+            assert eyes_y < mouth_y < chin_y, (f, eyes_y, mouth_y, chin_y)
+            assert 0.3 <= float(np.ptp(lm[:, 0])) <= 0.95, f
+        rng = np.random.default_rng(0)
+        non_faces = (
+            rng.integers(0, 255, (256, 256, 3), dtype=np.uint8),
+            np.full((256, 256, 3), 90, np.uint8),
+            np.tile(np.linspace(0, 255, 256, dtype=np.uint8)[:, None, None],
+                    (1, 256, 3)),
+        )
+        for i, im in enumerate(non_faces):
+            assert LM.net_landmarks_81(im) is None, f'non-face {i} accepted'
+    finally:
+        LM.unload_landmark_net()
 
 
 def _label_from_landmarks(lm, size):
