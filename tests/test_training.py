@@ -6,6 +6,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ctrlhair_tpu.config import (
     ColorTextureConfig, PredictorConfig, ShapeConfig)
@@ -131,6 +132,33 @@ def test_ct_schedule_weights():
         for step in (0, 1, 599999, 600000, 600001):
             assert sch.weight_host(name, step) == float(
                 sch.weight(name, step))
+
+
+def test_adam_dict_lr_schedule():
+    # adam() accepts {step: lr} so a GAN run can drop its learning rate
+    # when a late loss term (lambda_rec_img) activates mid-run — the
+    # optimizer-side half of the activation ramp (VERDICT r3 item 3).
+    from ctrlhair_tpu.training.train_state import _dict_schedule, adam
+    sched = _dict_schedule({0: 2e-4, 100: 5e-5, 200: 1e-5})
+    assert float(sched(0)) == pytest.approx(2e-4)
+    assert float(sched(99)) == pytest.approx(2e-4)
+    assert float(sched(100)) == pytest.approx(5e-5)
+    assert float(sched(199)) == pytest.approx(5e-5)
+    assert float(sched(200)) == pytest.approx(1e-5)
+    assert float(sched(10_000)) == pytest.approx(1e-5)
+
+    # integration: the scheduled optimizer takes smaller steps after the
+    # boundary than a same-gradient step before it
+    tx = adam({0: 1e-2, 3: 1e-4})
+    p = {'w': jnp.ones((4,))}
+    st = tx.init(p)
+    g = {'w': jnp.full((4,), 0.5)}
+    sizes = []
+    for _ in range(5):
+        upd, st = tx.update(g, st, p)
+        sizes.append(float(jnp.abs(upd['w']).max()))
+        p = optax.apply_updates(p, upd)
+    assert sizes[0] > 50 * sizes[-1]
 
 
 def test_shape_trainer_step():
