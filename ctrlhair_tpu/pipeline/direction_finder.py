@@ -234,6 +234,106 @@ def auto_curate(backend, att_name: str, n_candidates: int = 24,
     return chosen, report
 
 
+def regression_directions(z: np.ndarray, stats: Dict[str, np.ndarray],
+                          slots: Sequence[str] = SHAPE_SLOTS,
+                          ridge: float = 1e-2):
+    """Latent directions from DATA, not random probing.
+
+    The reference finds its shipped directions from labelled latent codes
+    of real samples (util/find_semantic_direction.py consumes latents of
+    curated examples); the measurable analogue: ridge-regress each mask
+    statistic onto the encoded latents `z` [N,D] and take the regression
+    coefficient vector — the direction in raw latent space along which the
+    statistic increases fastest across the real data manifold.  Random
+    orthogonal probes around one encoded latent can all score ~0 when the
+    decoder's response is anisotropic (soak r4: every probe slope < 1e-3);
+    the regression direction concentrates exactly the variance the probes
+    miss.
+
+    Returns (directions, report): directions[i] serves slots[i], unit-norm,
+    mutually orthogonal (Gram-Schmidt in slot order), re-signed after
+    orthogonalisation so +direction still increases its statistic; report
+    carries per-slot R^2 on the regression fit — a LOW R^2 is the honest
+    signal that the latent does not yet encode that statistic (e.g. an
+    under-trained or posterior-collapsed encoder).
+    """
+    z = np.asarray(z, np.float64)
+    n, d = z.shape
+    z0 = z - z.mean(0)
+    cov = z0.T @ z0 + ridge * n * np.eye(d)
+    raw, report = {}, []
+    for m in slots:
+        y = np.asarray(stats[m], np.float64)
+        y0 = y - y.mean()
+        w = np.linalg.solve(cov, z0.T @ y0)
+        pred = z0 @ w
+        ss_res = float(((y0 - pred) ** 2).sum())
+        ss_tot = float((y0 ** 2).sum()) + 1e-12
+        raw[m] = w
+        report.append({'label': m, 'r2': 1.0 - ss_res / ss_tot,
+                       'coef_norm': float(np.linalg.norm(w))})
+    ortho: List[np.ndarray] = []
+    for i, m in enumerate(slots):
+        v = raw[m].copy()
+        nrm = np.linalg.norm(v)
+        v = v / nrm if nrm > 1e-12 else np.eye(d)[i]
+        for e in ortho:
+            v = v - np.dot(v, e) * e
+        nrm = np.linalg.norm(v)
+        v = v / nrm if nrm > 1e-6 else np.eye(d)[i]
+        if np.dot(v, raw[m]) < 0:   # keep +direction = +statistic
+            v = -v
+        ortho.append(v)
+        report[i]['kept_alignment'] = float(abs(np.dot(
+            ortho[i], raw[m] / (np.linalg.norm(raw[m]) + 1e-12))))
+    return [o.astype(np.float32) for o in ortho], report
+
+
+def data_driven_shape_directions(editor, params, pool_dir: str,
+                                 max_masks: int = 200,
+                                 save_dir: Optional[str] = None,
+                                 report_path: Optional[str] = None):
+    """Encode up to `max_masks` warp-pool label maps and fit
+    regression_directions on their shape latents vs shape_metrics.
+
+    The pool is the soak's real-warp target set (ShapeDataset's training
+    distribution), so the directions live on the data manifold the VAE was
+    trained on."""
+    import json
+
+    import jax.numpy as jnp
+
+    from ctrlhair_tpu.ops.resize import resize_nearest
+
+    from PIL import Image
+
+    s = editor.cfg.shape.img_size
+    names = sorted(f for f in os.listdir(pool_dir) if f.endswith('.png'))
+    names = names[:max_masks]
+    zs, rows = [], []
+    for name in names:
+        lab = np.asarray(Image.open(os.path.join(pool_dir, name))
+                         ).astype(np.int32)
+        if lab.shape[0] != s:
+            lab = np.asarray(resize_nearest(jnp.asarray(lab), (s, s)))
+        band = _face_band(lab)
+        rows.append(shape_metrics(lab, band))
+        code, _face = editor.encode_shape(params, jnp.asarray(lab[None]))
+        zs.append(np.asarray(code)[0])
+    z = np.stack(zs)
+    stats = {m: np.asarray([r[m] for r in rows]) for m in rows[0]}
+    dirs, report = regression_directions(z, stats)
+    for r in report:
+        r['n_masks'] = len(names)
+    if save_dir:
+        for i, d in enumerate(dirs):
+            save_direction(save_dir, i, d)
+    if report_path:
+        with open(report_path, 'w') as f:
+            json.dump(report, f, indent=1)
+    return dirs, report
+
+
 def render_candidate_grids(backend, att_name: str, out_dir: str,
                            n_candidates: int = 20,
                            values: Sequence[float] = (-2, -1, 0, 1, 2),

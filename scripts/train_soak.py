@@ -874,7 +874,8 @@ def main():
     # ---------------- E: load trained branches + curate directions
     from ctrlhair_tpu.pipeline.backend import Backend
     from ctrlhair_tpu.pipeline.direction_finder import (
-        random_orthogonal_direction, save_direction)
+        data_driven_shape_directions, random_orthogonal_direction,
+        save_direction)
     from ctrlhair_tpu.utils.image import read_rgb, write_rgb
 
     editor.params = dict(editor.params, ct_gen=trained_ct_gen,
@@ -904,6 +905,8 @@ def main():
             _dd = json.load(f)
         summary['shape_dirs'] = _dd['shape_dirs']
         summary['texture_dir_response'] = _dd['texture_dir_response']
+        if 'shape_dir_regression' in _dd:
+            summary['shape_dir_regression'] = _dd['shape_dir_regression']
         stamp('directions already curated (marker found); skipping rescore')
     else:
         curated_fresh = True
@@ -913,7 +916,6 @@ def main():
         # reference's manual grid curation (ref: script_find_direction.py)
         base_shape = be.cur_latent.shape
         face_code = be.cur_latent.face
-        rng = np.random.default_rng(7)
 
         def mask_stats(shape_vec):
             m = np.asarray(editor.decode_mask(
@@ -930,50 +932,37 @@ def main():
             asym = hair[:, :half].mean() - hair[:, half:].mean()
             return np.array([area, length, forehead, asym])
 
-        # candidates are built as ONE mutually-orthonormal set (Gram-Schmidt
-        # against the already-drawn ones, matching the reference's
-        # find_semantic_direction contract, ref: util/find_semantic_direction.
-        # py:12-21): the chosen per-slot directions are then orthogonal unit
-        # vectors, so the be2fe projections don't cross-talk.  16-d latent ->
-        # at most 16 orthogonal candidates.
-        cands, scores = [], []
-        for i in range(16):
-            d = random_orthogonal_direction(16, cands, rng)
-            cands.append(d)
-            lo = mask_stats(base_shape - 2.0 * d[None])
-            hi = mask_stats(base_shape + 2.0 * d[None])
-            scores.append(hi - lo)
-        scores = np.stack(scores)                    # [16,4] deltas
-        # slot order must match direction_finder.SHAPE_SLOTS / the UI sliders:
-        # 0=length, 1=volume, 2=bangs_direction (asymmetry), 3=bangs (coverage)
-        sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
-        stat_of_slot = {0: 1, 1: 0, 2: 3, 3: 2}   # slot -> mask_stats column
-        chosen, chosen_idx = {}, []
-        for slot in (0, 1, 3, 2):   # assign most-selective sems first
-            sem = stat_of_slot[slot]
-            order = np.argsort(-np.abs(scores[:, sem]))
-            for idx in order:
-                if idx not in chosen_idx:
-                    # sign-canonicalise WITHOUT np.sign: a zero score must not
-                    # zero the direction (round-3 shipped two dead sliders
-                    # exactly this way — dir norms 0.0 in the r3 pickles)
-                    s = 1.0 if scores[idx, sem] >= 0 else -1.0
-                    chosen[slot] = cands[idx] * s
-                    chosen_idx.append(idx)
-                    break
+        # Directions come from DATA, not random probing: ridge-regress the
+        # encoded warp-pool latents on mask geometry
+        # (direction_finder.regression_directions).  The r4 soaks' random
+        # orthogonal probes around one latent scored ~0 on EVERY statistic
+        # — the decoder's responsive subspace is narrow and random 16-d
+        # probes miss it; the regression direction is exactly the axis the
+        # statistic varies along across the real training masks.
         shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
         shutil.rmtree(shape_dir_out, ignore_errors=True)
-        for slot in range(4):
-            save_direction(shape_dir_out, slot,
-                           chosen[slot].astype(np.float32))
-        slot_idx = {slot: chosen_idx[i]
-                    for i, slot in enumerate((0, 1, 3, 2))}
-        summary['shape_dirs'] = {
-            sem_names[slot]: [round(float(v), 4)
-                              for v in scores[slot_idx[slot]]]
-            for slot in range(4)}
-        stamp(f'shape directions curated: '
-              f'{[(sem_names[s], slot_idx[s]) for s in range(4)]}')
+        dirs, reg_report = data_driven_shape_directions(
+            editor, editor.params,
+            os.path.join(work, 'shape_training_wrap_pool'), max_masks=200,
+            save_dir=shape_dir_out,
+            report_path=os.path.join(ART, 'shape_dir_regression.json'))
+        summary['shape_dir_regression'] = [
+            {k: (round(v, 4) if isinstance(v, float) else v)
+             for k, v in r.items()} for r in reg_report]
+        # evidence: decode-probe each SHIPPED direction on the anchor image
+        # (columns: hair area, length, forehead coverage, asymmetry)
+        sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
+        summary['shape_dirs'] = {}
+        for slot, name in enumerate(sem_names):
+            d = dirs[slot]
+            lo = mask_stats(base_shape - 2.0 * d[None])
+            hi = mask_stats(base_shape + 2.0 * d[None])
+            summary['shape_dirs'][name] = [round(float(v), 4)
+                                           for v in (hi - lo)]
+        stamp(f'shape directions regressed from '
+              f'{reg_report[0]["n_masks"]} pool masks; '
+              f'r2={[round(r["r2"], 3) for r in reg_report]}; '
+              f'probe deltas={summary["shape_dirs"]}')
 
         # texture directions: 2 orthogonal candidates maximising rendered hair
         # pixel variance response
@@ -1006,6 +995,8 @@ def main():
               f'{[round(responses[i], 3) for i in order[:2]]})')
         with open(dir_done_path, 'w') as f:
             json.dump({'shape_dirs': summary['shape_dirs'],
+                       'shape_dir_regression':
+                           summary['shape_dir_regression'],
                        'texture_dir_response':
                            summary['texture_dir_response']}, f)
 

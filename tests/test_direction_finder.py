@@ -25,6 +25,81 @@ def test_random_orthogonal_direction_properties():
     assert d[np.argmax(np.abs(d))] > 0
 
 
+def test_regression_directions_recover_planted_semantics():
+    """Plant four linear statistics in a synthetic latent cloud; the
+    regression must recover each planted direction (cosine > 0.95 before
+    orthogonalisation-induced mixing), ship unit-norm mutually-orthogonal
+    vectors signed so +direction increases its statistic, and report
+    near-1 R^2 (and near-0 R^2 for a statistic of pure noise)."""
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        SHAPE_SLOTS, regression_directions)
+    rng = np.random.default_rng(3)
+    z = rng.standard_normal((400, 16))
+    planted = {}
+    for i, m in enumerate(SHAPE_SLOTS):
+        d = np.zeros(16)
+        d[i * 3] = 0.8
+        d[i * 3 + 1] = 0.6
+        planted[m] = d
+    stats = {m: z @ planted[m] + 0.05 * rng.standard_normal(400)
+             for m in SHAPE_SLOTS}
+    dirs, report = regression_directions(z, stats)
+    assert len(dirs) == 4
+    for i, m in enumerate(SHAPE_SLOTS):
+        assert abs(np.linalg.norm(dirs[i]) - 1.0) < 1e-5
+        cos = float(np.dot(dirs[i], planted[m])
+                    / np.linalg.norm(planted[m]))
+        assert cos > 0.95, (m, cos)          # sign AND alignment
+        assert report[i]['r2'] > 0.95, report[i]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert abs(float(np.dot(dirs[i], dirs[j]))) < 1e-6
+
+    # a pure-noise statistic is reported honestly: R^2 ~ 0
+    noise_stats = dict(stats)
+    noise_stats['length'] = rng.standard_normal(400)
+    _, rep2 = regression_directions(z, noise_stats)
+    assert rep2[0]['r2'] < 0.2
+
+
+def test_data_driven_shape_directions_end_to_end(tiny_editor, tmp_path):
+    """Encode a small synthetic warp pool through the tiny shape VAE and
+    check the wrapper ships 4 unit-norm orthogonal pickles + a report with
+    per-slot R^2 (value untested — the net is random-init)."""
+    from PIL import Image
+
+    from ctrlhair_tpu.constants import HAIR_IDX, PARSING_LABEL_LIST
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        data_driven_shape_directions, load_directions)
+
+    skin = PARSING_LABEL_LIST.index('skin_other')
+    s = tiny_editor.cfg.shape.img_size
+    pool = tmp_path / 'pool'
+    pool.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        lab = np.zeros((s, s), np.uint8)
+        lab[s // 3:, s // 4: 3 * s // 4] = skin       # face blob
+        top = int(rng.integers(0, s // 4))
+        depth = int(rng.integers(s // 3, s - 1))
+        lab[top:depth, s // 8: 7 * s // 8] = HAIR_IDX  # varied hair
+        Image.fromarray(lab).save(pool / f'm{i}.png')
+
+    out = tmp_path / 'dirs'
+    dirs, report = data_driven_shape_directions(
+        tiny_editor, tiny_editor.params, str(pool), max_masks=6,
+        save_dir=str(out), report_path=str(tmp_path / 'report.json'))
+    assert len(dirs) == 4 and len(report) == 4
+    loaded = load_directions(str(out))
+    assert len(loaded) == 4
+    for i, d in enumerate(loaded):
+        assert abs(np.linalg.norm(d) - 1.0) < 1e-4
+        for j in range(i + 1, 4):
+            assert abs(float(np.dot(d, loaded[j]))) < 1e-4
+    assert all('r2' in r and r['n_masks'] == 6 for r in report)
+    assert os.path.exists(tmp_path / 'report.json')
+
+
 def test_save_load_roundtrip_and_backend_autoload(tmp_path):
     dirs = [np.arange(16, dtype=np.float32) / 100 + i for i in range(3)]
     for i, d in enumerate(dirs):
