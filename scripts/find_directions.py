@@ -37,6 +37,12 @@ def main(argv=None):
     p.add_argument('--auto', action='store_true',
                    help='metric-scored curation: fill EVERY slider slot '
                         'and write a score report (no operator in the loop)')
+    p.add_argument('--pool-dir', default=None,
+                   help='shape only: warp-pool label dir; regress the '
+                        'pool latents on mask geometry and ship the '
+                        'regression directions (strongest method — random '
+                        'probes can all miss the decoder\'s responsive '
+                        'subspace)')
     p.add_argument('--trained-root', default=None,
                    help='model_trained root with <family>/checkpoints dirs '
                         '(e.g. a train_soak workdir) to load before curating')
@@ -54,6 +60,26 @@ def main(argv=None):
         print(f'loaded trained checkpoints from {args.trained_root}',
               flush=True)
     backend.set_input_img(backend.crop_face(read_rgb(args.input)))
+
+    if args.pool_dir:
+        if args.att != 'shape':
+            p.error('--pool-dir applies to --att shape only')
+        from ctrlhair_tpu.pipeline.direction_finder import (
+            data_driven_shape_directions)
+        save_dir = args.save_dir or os.path.join(
+            'model_trained', 'shape_dir_used')
+        os.makedirs(args.out_dir, exist_ok=True)
+        dirs_, report = data_driven_shape_directions(
+            backend.editor, backend.editor.params, args.pool_dir,
+            save_dir=save_dir,
+            report_path=os.path.join(args.out_dir,
+                                     'shape_dir_regression.json'))
+        for i, r in enumerate(report):
+            print(f"slot {i} ({r['label']}): r2 {r['r2']:.3f} over "
+                  f"{r['n_masks']} masks", flush=True)
+        _render_chosen_grids(backend, 'shape', dirs_, args.out_dir)
+        print(f'{len(dirs_)} directions shipped to {save_dir}', flush=True)
+        return
 
     if args.auto:
         save_dir = args.save_dir or os.path.join(

@@ -24,6 +24,7 @@
 #
 # Usage: python scripts/train_soak.py [workdir] [ct_steps] [shape_steps]
 import dataclasses
+import hashlib
 import json
 import os
 import pickle
@@ -898,6 +899,17 @@ def main():
     dir_done_path = os.path.join(work, 'soak_state', 'directions.json')
     shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
     tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
+
+    def _dir_hash(d):
+        h = hashlib.sha1()
+        if os.path.isdir(d):
+            for name in sorted(os.listdir(d)):
+                with open(os.path.join(d, name), 'rb') as f:
+                    h.update(name.encode() + f.read())
+        return h.hexdigest()
+
+    shape_hash_before = _dir_hash(shape_dir_out)
+    tex_hash_before = _dir_hash(tex_dir_out)
     curated_fresh = False
     if (os.path.exists(dir_done_path) and os.path.isdir(shape_dir_out)
             and os.path.isdir(tex_dir_out)):
@@ -1010,14 +1022,35 @@ def main():
     from ctrlhair_tpu.training import validation as V
     ct_canvas = os.path.join(ART, 'ct_sweep_canvas.png')
     shape_canvas = os.path.join(ART, 'shape_sweep_canvas.png')
-    if curated_fresh:
-        stale = [ct_canvas, shape_canvas] + [
-            os.path.join(ART, 'direction_grids', f'{k}_dir{i}.png')
-            for k, n in (('shape', 4), ('texture', 2)) for i in range(n)]
-        for p in stale:
-            if os.path.exists(p):
-                os.remove(p)
-        stamp(f'fresh curation: removed {len(stale)} stale render outputs')
+    # selective: only outputs whose INPUTS changed this invocation are
+    # stale — freshly-trained nets invalidate their canvases, changed
+    # pickles invalidate their grids (a resumed run that only re-curates
+    # shape must not pay ~20 min re-rendering identical texture grids)
+    ct_fresh = summary.get('ct', {}).get('steps_this_run', 0) > 0
+    shape_fresh = summary.get('shape', {}).get('steps_this_run', 0) > 0
+    shape_dirs_changed = _dir_hash(shape_dir_out) != shape_hash_before
+    tex_dirs_changed = _dir_hash(tex_dir_out) != tex_hash_before
+    stale = []
+    if ct_fresh:
+        stale.append(ct_canvas)
+    if shape_fresh:
+        stale.append(shape_canvas)
+    if ct_fresh or tex_dirs_changed:
+        stale += [os.path.join(ART, 'direction_grids',
+                               f'texture_dir{i}.png') for i in range(2)]
+    if ct_fresh or shape_fresh or shape_dirs_changed:
+        stale += [os.path.join(ART, 'direction_grids',
+                               f'shape_dir{i}.png') for i in range(4)]
+    removed = 0
+    for p in stale:
+        if os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    if removed:
+        stamp(f'stale render outputs removed: {removed} '
+              f'(ct_fresh={ct_fresh} shape_fresh={shape_fresh} '
+              f'shape_dirs_changed={shape_dirs_changed} '
+              f'tex_dirs_changed={tex_dirs_changed})')
     if not (os.path.exists(ct_canvas) and os.path.exists(shape_canvas)):
         res = editor.analyze_image(np.asarray(be.input_img))
         lat = res['latent']
