@@ -201,6 +201,10 @@ class ShapeConfig:
     lambda_moment_1: float = 0.0
     lambda_moment_2: float = 0.0
     disturb_real_batch_mask: bool = False
+    # Free-bits floor (nats/dim) under the KL term: 0.0 = the reference's
+    # plain KL; > 0 stops the hair latent collapsing to the prior on short
+    # runs (losses.kl_loss_free_bits).  Not a reference option.
+    kl_free_bits: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

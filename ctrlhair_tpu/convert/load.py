@@ -111,6 +111,7 @@ def load_native_params(editor, *,
     Returns the updated params dict (also set on the editor).
     """
     import jax
+    import jax.numpy as jnp
     from ctrlhair_tpu.utils.checkpoint import load_checkpoint
 
     params = dict(editor.params)
@@ -122,6 +123,11 @@ def load_native_params(editor, *,
         saves the FULL train state (training/loop.py:93), while deployment
         checkpoints (scripts/train_soak.py) save the reduced inference
         pytree — both must load here.
+
+        Restored leaves are cast bf16 -> f32: deployment checkpoints ship
+        in bf16 for size, but the editor's interactive programs (and their
+        warm executables) are signed on f32 param trees — serving bf16
+        leaves would silently invalidate every warm artifact.
         """
         if not ckpt_dir or not os.path.isdir(ckpt_dir):
             return None
@@ -131,7 +137,10 @@ def load_native_params(editor, *,
             except Exception:   # noqa: BLE001 — structure mismatch
                 continue
             if res is not None:
-                return res[0]
+                return jax.tree_util.tree_map(
+                    lambda x: (x.astype(jnp.float32)
+                               if getattr(x, 'dtype', None) == jnp.bfloat16
+                               else x), res[0])
         return None
 
     def variables(model_params, stats):
@@ -222,9 +231,16 @@ def load_native_params(editor, *,
     if sean_dir:
         from ctrlhair_tpu.training.sean_trainer import SEANTrainer
         tr = SEANTrainer(editor.cfg.sean, use_vgg=False)
-        st = restore(sean_dir, lambda: tr.init_state(rng))
+
+        def sean_reduced():
+            # deployment contract (train_soak stage G): generator variables
+            # only — spectral norm already folded, inference-ready
+            return jax.tree_util.tree_map(lambda x: x, params['sean'])
+
+        st = restore(sean_dir, sean_reduced, lambda: tr.init_state(rng))
         if st is not None:
-            params['sean'] = variables(st.gen.params, st.gen_stats)
+            params['sean'] = (st if isinstance(st, dict) and 'params' in st
+                              else variables(st.gen.params, st.gen_stats))
 
     editor.params = params
     return editor.params

@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import copy
+import os
 from typing import Dict, List, Optional
 
 import jax
@@ -28,13 +29,44 @@ from ctrlhair_tpu.utils.masks import label_to_one_hot, split_hair_face
 class Backend:
     """Interactive editing session (ref: ui/backend.py:40-462)."""
 
+    @staticmethod
+    def _repo_path(rel: str) -> str:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        return os.path.join(repo, rel)
+
     def __init__(self, maximum_value_fe: float = 2.5, blending: bool = True,
                  cfg: PipelineConfig = PipelineConfig(),
                  editor: Optional[HairEditorTPU] = None, seed: int = 0,
-                 hsv_table=None):
+                 hsv_table=None, trained_root: Optional[str] = 'auto'):
         self.cfg = cfg
         self.editor = editor if editor is not None else HairEditorTPU(
             cfg, seed=seed)
+        # deployment weights: when this Backend builds its own editor,
+        # auto-load the checkout's shipped family checkpoints (the
+        # reference boots from model_trained/ the same way,
+        # ref: hair_editor.py:45-119).  Callers that pass an editor keep
+        # full control (tests, the soak, bench) — pass trained_root
+        # explicitly to opt in.
+        if trained_root == 'auto':
+            trained_root = (self._repo_path('model_trained')
+                            if editor is None else None)
+        if trained_root and os.path.isdir(trained_root):
+            from ctrlhair_tpu.convert.load import load_trained_root
+            load_trained_root(self.editor, trained_root)
+            median = os.path.join(trained_root, 'mean_style_code', 'median')
+            if os.path.isdir(median):
+                self.editor.load_style_fallback(median)
+        if hsv_table is None and trained_root:
+            # dataset-stats contract: the HSV slider CDF table ships with
+            # the trained weights (ref: dataset_info_ctrlhair/
+            # hsv_stat_dict_ordered.pkl, color_from_hsv_to_gaussian.py:18)
+            table_path = os.path.join(trained_root or '',
+                                      'hsv_stat_dict_ordered.pkl')
+            if os.path.exists(table_path):
+                import pickle
+                with open(table_path, 'rb') as f:
+                    hsv_table = pickle.load(f)
         self.maximum_value_fe = maximum_value_fe
         self.blending = blending
         self.dist_translation = DistTranslation(table=hsv_table)

@@ -30,10 +30,17 @@ def random_orthogonal_direction(dim: int, existing: Sequence[np.ndarray],
 
 def save_direction(dir_path: str, index: int, direction: np.ndarray) -> None:
     """Persist as sorted '<idx>.pkl' files, the loading contract of
-    hair_editor (ref: hair_editor.py:84-91, 111-119)."""
+    hair_editor (ref: hair_editor.py:84-91, 111-119).
+
+    Atomic per file (tmp + os.replace): a crash — or a round snapshot —
+    landing mid-curation must never observe a deleted-but-not-rewritten
+    pickle (r4's snapshot committed exactly that state)."""
     os.makedirs(dir_path, exist_ok=True)
-    with open(os.path.join(dir_path, f'{index:03d}.pkl'), 'wb') as f:
+    path = os.path.join(dir_path, f'{index:03d}.pkl')
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
         pickle.dump(np.asarray(direction, np.float32), f)
+    os.replace(tmp, path)
 
 
 def load_directions(dir_path: str) -> Optional[List[np.ndarray]]:
@@ -272,21 +279,67 @@ def regression_directions(z: np.ndarray, stats: Dict[str, np.ndarray],
         raw[m] = w
         report.append({'label': m, 'r2': 1.0 - ss_res / ss_tot,
                        'coef_norm': float(np.linalg.norm(w))})
+    def _residual_basis(i: int, existing: List[np.ndarray]) -> np.ndarray:
+        """Degenerate-coefficient fallback: the first standard basis vector
+        (starting at slot i) with a non-trivial residual after projecting
+        out `existing` — the raw eye-vector could be collinear with an
+        already-kept direction and would break the unit-norm/mutually-
+        orthogonal contract the latent-edit projections rely on."""
+        for j in range(d):
+            v = np.eye(d)[(i + j) % d]
+            for e in existing:
+                v = v - np.dot(v, e) * e
+            nrm = np.linalg.norm(v)
+            if nrm > 1e-6:
+                return v / nrm
+        raise ValueError('no basis vector independent of the kept set '
+                         f'(d={d}, kept={len(existing)})')
+
     ortho: List[np.ndarray] = []
     for i, m in enumerate(slots):
         v = raw[m].copy()
         nrm = np.linalg.norm(v)
-        v = v / nrm if nrm > 1e-12 else np.eye(d)[i]
+        v = v / nrm if nrm > 1e-12 else _residual_basis(i, ortho)
         for e in ortho:
             v = v - np.dot(v, e) * e
         nrm = np.linalg.norm(v)
-        v = v / nrm if nrm > 1e-6 else np.eye(d)[i]
+        v = v / nrm if nrm > 1e-6 else _residual_basis(i, ortho)
         if np.dot(v, raw[m]) < 0:   # keep +direction = +statistic
             v = -v
         ortho.append(v)
         report[i]['kept_alignment'] = float(abs(np.dot(
             ortho[i], raw[m] / (np.linalg.norm(raw[m]) + 1e-12))))
     return [o.astype(np.float32) for o in ortho], report
+
+
+def check_directions_alive(reg_report, probe_deltas: Dict[str, Dict[str, float]],
+                           r2_min: float = 0.3,
+                           probe_min: float = 0.05) -> List[str]:
+    """Liveliness gate for shipped shape directions.
+
+    A direction may only ship when the latent provably encodes its
+    statistic (regression R^2 >= r2_min) AND a decoded-mask probe over a
+    +-2 sweep moves the labelled statistic visibly (|delta| >= probe_min;
+    every statistic is a [0,1] fraction of the mask).  Returns the list of
+    failure strings — empty means alive.  The r4 soak shipped directions
+    with R^2 ~ 1e-4 and probe deltas <= 1e-4 (five identical evidence-grid
+    cells); this gate makes that state a loud error instead of a
+    deliverable."""
+    failures = []
+    for r in reg_report:
+        if r['r2'] < r2_min:
+            failures.append(
+                f"slot {r['label']}: regression R^2 {r['r2']:.4f} < "
+                f"{r2_min} — the latent does not encode this statistic "
+                "(under-trained or collapsed encoder)")
+    for label, deltas in probe_deltas.items():
+        own = abs(float(deltas.get(label, 0.0)))
+        if own < probe_min:
+            failures.append(
+                f"slot {label}: decoded-mask probe delta {own:.4f} < "
+                f"{probe_min} over a +-2 sweep — the slider visibly "
+                "does nothing")
+    return failures
 
 
 def data_driven_shape_directions(editor, params, pool_dir: str,
@@ -310,6 +363,21 @@ def data_driven_shape_directions(editor, params, pool_dir: str,
     s = editor.cfg.shape.img_size
     names = sorted(f for f in os.listdir(pool_dir) if f.endswith('.png'))
     names = names[:max_masks]
+    dim = int(editor.cfg.shape.hair_dim)
+    if not names:
+        raise ValueError(f'no .png masks in pool_dir={pool_dir!r} — '
+                         'generate the warp pool first '
+                         '(data.shape_dataset.generate_warp_pool)')
+    if len(names) <= dim:
+        raise ValueError(
+            f'{len(names)} pool masks for a {dim}-d latent: the ridge fit '
+            'would be underdetermined and its R^2 meaningless; need at '
+            f'least {dim + 1} (ideally >= {4 * dim})')
+    if len(names) < 4 * dim:
+        import warnings
+        warnings.warn(f'only {len(names)} pool masks for a {dim}-d latent '
+                      f'ridge fit; R^2 may be inflated (want >= {4 * dim})',
+                      stacklevel=2)
     zs, rows = [], []
     for name in names:
         lab = np.asarray(Image.open(os.path.join(pool_dir, name))

@@ -79,6 +79,23 @@ def kl_loss(mean: jnp.ndarray, std: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * jnp.mean(mean ** 2 + var - 1.0 - jnp.log(var + 1e-4))
 
 
+def kl_loss_free_bits(mean: jnp.ndarray, std: jnp.ndarray,
+                      free_bits: float) -> jnp.ndarray:
+    """Per-dimension free-bits KL (Kingma et al., IAF appendix C.8).
+
+    A latent dimension whose batch-mean KL is already below `free_bits`
+    nats contributes the constant floor instead of its KL, so the penalty
+    cannot keep pushing quiet dimensions toward the prior — the standard
+    posterior-collapse counter-measure.  With free_bits=0 this reduces to
+    kl_loss exactly.  The reference trains 380k steps and never needs it
+    (ref: shape_branch/config.py:57); short soaks on tiny data do (the
+    r4 soak's hair latent collapsed to KL ~ 0.014 total)."""
+    var = std ** 2
+    kl_per_dim = 0.5 * jnp.mean(
+        mean ** 2 + var - 1.0 - jnp.log(var + 1e-4), axis=0)
+    return jnp.mean(jnp.maximum(kl_per_dim, free_bits))
+
+
 def moment_losses(noise: jnp.ndarray, second_moment_target: float = 1.0):
     """Match batch latent moments to the prior
     (ref: color solver :234-242 / shape solver :136-141)."""

@@ -85,10 +85,17 @@ class SEANTrainer:
                  lr_d: float = 4e-4, use_vgg: bool = True,
                  vgg_params: Optional[Any] = None,
                  split_step: bool = False, dis_num_d: int = 2,
-                 dis_ndf: int = 64, dis_n_layers: int = 4):
+                 dis_ndf: int = 64, dis_n_layers: int = 4,
+                 lambda_l1: float = 0.0):
+        # lambda_l1: direct pixel-L1 reconstruction term.  NOT a reference
+        # loss (SPADE/SEAN trains adv+FM+VGG only) — this environment has no
+        # pretrained VGG19 (zero egress), so the perceptual slot is empty;
+        # a small L1 restores a pixel-space learning signal for the
+        # capability soak.  Default 0.0 = exact reference objective.
         self.cfg = cfg
         self.lambda_feat = lambda_feat
         self.lambda_vgg = lambda_vgg
+        self.lambda_l1 = lambda_l1
         self.model = SEAN(cfg)
         # dis_* default to the reference topology (2-scale C64 4-layer
         # PatchGAN, discriminator.py:14-62); tiny dry-run builds shrink them
@@ -108,6 +115,10 @@ class SEANTrainer:
         # ~0.1 s (see utils/aot_cache.py)
         from ctrlhair_tpu.utils.aot_cache import WarmJit
         self.split_step = split_step
+        # losses toggled by constructor floats are baked into the traced
+        # program: distinct warm-artifact names per objective variant, or a
+        # stale executable would silently train the wrong loss
+        tag = '' if lambda_l1 == 0 else '_l1'
         if split_step:
             # Split-program fallback for environments where the fused
             # G+D(+VGG) program's compile is prohibitive (this relay's
@@ -120,9 +131,9 @@ class SEANTrainer:
             # the program balloons ~1000x (measured on the ct rec program:
             # 882 MB -> 0.8 MB of HLO), which is what made this compile
             # take ~40 min through the relay
-            self.g_step = WarmJit('sean_g_step', self._g_step,
+            self.g_step = WarmJit(f'sean_g_step{tag}', self._g_step,
                                   donate_argnums=(0,))
-            self.d_step = WarmJit('sean_d_step', self._d_step,
+            self.d_step = WarmJit(f'sean_d_step{tag}', self._d_step,
                                   donate_argnums=(0,))
 
             def _two_program_step(state, batch, rng):
@@ -135,7 +146,7 @@ class SEANTrainer:
 
             self.train_step = _two_program_step
         else:
-            self.train_step_jit = WarmJit('sean_train_step',
+            self.train_step_jit = WarmJit(f'sean_train_step{tag}',
                                           self._train_step,
                                           donate_argnums=(0,))
 
@@ -230,6 +241,9 @@ class SEANTrainer:
             fm = fm / len(feats_fake)
             losses = {'adv': adv, 'feat': fm}
             total = adv + self.lambda_feat * fm
+            if self.lambda_l1 > 0:
+                losses['l1'] = jnp.mean(jnp.abs(fake - img))
+                total = total + self.lambda_l1 * losses['l1']
             if self.use_vgg:
                 vp = self.vgg_params if vgg_params is None else vgg_params
                 vf = self.vgg.apply(vp, vgg_preprocess(fake))

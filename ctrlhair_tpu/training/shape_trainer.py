@@ -161,7 +161,11 @@ class ShapeTrainer:
                                         method=self.gen.decode)
             lg['lambda_self_rec'] = _masked_mean(
                 -jnp.log(donor_mask + 1e-5), batch['hair'] > 0.5)
-            lg['lambda_kl'] = L.kl_loss(f['hair_mean'], f['hair_std'])
+            lg['lambda_kl'] = (
+                L.kl_loss_free_bits(f['hair_mean'], f['hair_std'],
+                                    cfg.kl_free_bits)
+                if cfg.kl_free_bits > 0
+                else L.kl_loss(f['hair_mean'], f['hair_std']))
             if cfg.lambda_moment_1 > 0:   # ref: solver.py:136-139
                 lg['lambda_moment_1'] = jnp.mean(
                     jnp.mean(f['hair_code'], axis=0) ** 2)

@@ -270,7 +270,8 @@ def main(argv=None):
     # the server starts accepting requests
     backend = Backend(maximum_value_fe=args.max_fe,
                       blending=not args.no_blending,
-                      editor=HairEditorTPU(warm_batches=(1,)))
+                      editor=HairEditorTPU(warm_batches=(1,)),
+                      trained_root=Backend._repo_path('model_trained'))
     editor = WebEditor(backend, maximum_value_fe=args.max_fe)
     if args.input:
         editor.load_input(read_rgb(args.input))

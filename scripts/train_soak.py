@@ -10,17 +10,31 @@
 # trained checkpoints exist in this environment; this is the honest
 # maximum (ref data contract: dataset_info_ctrlhair/, README.md:95-107).
 #
-# Pipeline (ref: README.md:109-204 four trainings):
-#   A. stage+augment data, pseudo-labels, L0 prep chain, curliness lists
-#   B. predictors (rgb p004 + curliness p002), held-out metrics
-#   C. color_texture GAN, batch 128, schedules SCALED so every step-gated
-#      loss fires (lambda_rec_img renders through the frozen SEAN at the
-#      ref's subset=4, ref solver.py:270-299)
-#   D. shape mask VAE-GAN on a generated warp pool
-#   E. direction curation: score candidate latent directions by measurable
-#      semantics (hair area / length / bangs coverage; texture variance)
-#      and SHIP the chosen pickles + evidence grids
-#   F. artifacts: loss curves (csv+png), validation canvases, summary
+# Pipeline (ref: README.md:109-204 four trainings + the vendored SEAN):
+#   A.  stage+augment data, pseudo-labels
+#   A2. SEAN pix2pix reconstruction on the staged pairs (the visual
+#       foundation: every rendered artifact downstream goes through it)
+#   A3. L0 prep chain (SEAN codes with the TRAINED encoder), curliness lists
+#   B0. BiSeNet parser on the pseudo-labels
+#   B.  predictors (rgb p004 + curliness p002), held-out metrics
+#   C.  color_texture GAN, batch 128, schedules SCALED so every step-gated
+#       loss fires (lambda_rec_img renders through the trained-frozen SEAN
+#       at the ref's subset=4, ref solver.py:270-299)
+#   D.  shape mask VAE-GAN on a generated warp pool (KL free-bits floor
+#       against hair-latent collapse)
+#   E.  direction curation: data-driven regression directions, gated on
+#       MEASURED liveliness (R^2 + decoded-mask probe deltas) before any
+#       pickle ships
+#   F.  artifacts: loss curves, validation canvases, evidence grids —
+#       re-rendered whenever their INPUT fingerprints change
+#   G.  ship deployment checkpoints into the repo tree (bf16 for the big
+#       families) so a fresh clone loads trained weights everywhere
+#
+# Throughput note: per-step dispatch through this environment's serial TPU
+# relay costs ~0.2 s wall regardless of device time (r4: shape 4.4 steps/s
+# wall vs 242 enqueued), so the ct/shape/bisenet loops run lax.scan CHUNKS
+# of steps per dispatch — device-limited throughput with identical RNG
+# streams to the per-step path.
 #
 # Usage: python scripts/train_soak.py [workdir] [ct_steps] [shape_steps]
 import dataclasses

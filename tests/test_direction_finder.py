@@ -77,7 +77,9 @@ def test_data_driven_shape_directions_end_to_end(tiny_editor, tmp_path):
     pool = tmp_path / 'pool'
     pool.mkdir()
     rng = np.random.default_rng(0)
-    for i in range(6):
+    # > hair_dim masks: the fit guard refuses underdetermined pools
+    n_masks = tiny_editor.cfg.shape.hair_dim + 4
+    for i in range(n_masks):
         lab = np.zeros((s, s), np.uint8)
         lab[s // 3:, s // 4: 3 * s // 4] = skin       # face blob
         top = int(rng.integers(0, s // 4))
@@ -87,7 +89,7 @@ def test_data_driven_shape_directions_end_to_end(tiny_editor, tmp_path):
 
     out = tmp_path / 'dirs'
     dirs, report = data_driven_shape_directions(
-        tiny_editor, tiny_editor.params, str(pool), max_masks=6,
+        tiny_editor, tiny_editor.params, str(pool), max_masks=n_masks,
         save_dir=str(out), report_path=str(tmp_path / 'report.json'))
     assert len(dirs) == 4 and len(report) == 4
     loaded = load_directions(str(out))
@@ -96,7 +98,7 @@ def test_data_driven_shape_directions_end_to_end(tiny_editor, tmp_path):
         assert abs(np.linalg.norm(d) - 1.0) < 1e-4
         for j in range(i + 1, 4):
             assert abs(float(np.dot(d, loaded[j]))) < 1e-4
-    assert all('r2' in r and r['n_masks'] == 6 for r in report)
+    assert all('r2' in r and r['n_masks'] == n_masks for r in report)
     assert os.path.exists(tmp_path / 'report.json')
 
 
@@ -210,3 +212,66 @@ def test_shape_and_texture_metrics_respond():
     tf, tn = (texture_metrics(i, short) for i in (flat, noisy))
     assert tn['smoothness'] < tf['smoothness']
     assert tn['thickness'] > tf['thickness']
+
+
+def test_check_directions_alive_gate():
+    """The liveliness gate fails dead directions (R^2 ~ 0 / flat probes —
+    the r4 shipped state) and passes live ones."""
+    from ctrlhair_tpu.pipeline.direction_finder import check_directions_alive
+    dead_rep = [{'label': 'length', 'r2': 1e-4},
+                {'label': 'volume', 'r2': 0.5}]
+    dead_probes = {'length': {'length': 0.0001},
+                   'volume': {'volume': 0.0}}
+    failures = check_directions_alive(dead_rep, dead_probes)
+    assert len(failures) == 3   # length r2, length probe, volume probe
+    live_rep = [{'label': 'length', 'r2': 0.62},
+                {'label': 'volume', 'r2': 0.41}]
+    live_probes = {'length': {'length': 0.12}, 'volume': {'volume': -0.08}}
+    assert check_directions_alive(live_rep, live_probes) == []
+
+
+def test_regression_directions_degenerate_fallback_is_orthogonal():
+    """Zero-coefficient slots fall back to a basis vector orthogonalised
+    against the kept set (ADVICE r4: the raw eye-vector could be collinear
+    with an already-kept direction)."""
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        SHAPE_SLOTS, regression_directions)
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((100, 16))
+    # first slot's statistic IS e0 (so dir0 ~ e0); the rest pure constants
+    # (zero coefficients -> degenerate fallback, whose naive eye(d)[i]
+    # choice for i=1 would collide with nothing, but i=0's kept e0 shows
+    # the re-orthogonalisation)
+    stats = {m: (z[:, 0] if i == 0 else np.zeros(100))
+             for i, m in enumerate(SHAPE_SLOTS)}
+    dirs, report = regression_directions(z, stats)
+    mat = np.stack(dirs)
+    np.testing.assert_allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
+    gram = mat @ mat.T
+    np.testing.assert_allclose(gram, np.eye(4), atol=1e-5)
+
+
+def test_pool_guards_raise_clearly(tiny_editor, tmp_path):
+    """Empty or underdetermined pools are loud errors, not silent
+    garbage fits (ADVICE r4)."""
+    import pytest
+    from PIL import Image
+
+    from ctrlhair_tpu.constants import HAIR_IDX
+    from ctrlhair_tpu.pipeline.direction_finder import (
+        data_driven_shape_directions)
+    empty = tmp_path / 'empty'
+    empty.mkdir()
+    with pytest.raises(ValueError, match='no .png masks'):
+        data_driven_shape_directions(tiny_editor, tiny_editor.params,
+                                     str(empty))
+    small = tmp_path / 'small'
+    small.mkdir()
+    s = tiny_editor.cfg.shape.img_size
+    for i in range(3):
+        lab = np.zeros((s, s), np.uint8)
+        lab[:s // 2] = HAIR_IDX
+        Image.fromarray(lab).save(small / f'm{i}.png')
+    with pytest.raises(ValueError, match='underdetermined'):
+        data_driven_shape_directions(tiny_editor, tiny_editor.params,
+                                     str(small))

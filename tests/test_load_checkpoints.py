@@ -125,3 +125,71 @@ def test_load_native_reduced_deployment_checkpoints(tmp_path):
     want = jax.tree_util.tree_leaves(sh_state.gen.params)
     for a, b in zip(got, want):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.quick
+def test_bf16_deployment_checkpoints_load_as_f32(tmp_path):
+    """Stage-G deployment checkpoints ship bf16 for size; loading casts
+    back to f32 so the editor's program signatures (and warm executables)
+    stay f32.  Also covers the SEAN reduced deployment contract
+    (generator variables only)."""
+    from ctrlhair_tpu.convert.load import load_native_params
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+
+    editor = HairEditorTPU(tiny_cfg())
+    rng = np.random.default_rng(0)
+
+    def bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32).astype(jnp.bfloat16)
+            if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
+
+    sean_vars = jax.tree_util.tree_map(
+        lambda x: np.asarray(rng.standard_normal(x.shape), np.float32)
+        if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+        jax.tree_util.tree_map(np.asarray, editor.params['sean']))
+    save_checkpoint(str(tmp_path / 'sean' / 'checkpoints'),
+                    bf16(sean_vars), 7)
+    load_native_params(editor,
+                       sean_dir=str(tmp_path / 'sean' / 'checkpoints'))
+    got = jax.tree_util.tree_leaves(editor.params['sean'])
+    want = jax.tree_util.tree_leaves(bf16(sean_vars))
+    for a, b in zip(got, want):
+        a = np.asarray(a)
+        if a.dtype == np.float32 and np.asarray(
+                b, np.float32).dtype == np.float32:
+            assert a.dtype == np.float32
+        np.testing.assert_allclose(a.astype(np.float32),
+                                   np.asarray(b).astype(np.float32))
+
+
+@pytest.mark.quick
+def test_backend_loads_trained_root(tmp_path):
+    """Backend(trained_root=...) boots from shipped family checkpoints —
+    the deployment path a fresh clone takes (ref: hair_editor.py:45-119)."""
+    import pickle
+
+    from ctrlhair_tpu.pipeline.backend import Backend
+    from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
+    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = tiny_cfg()
+    editor = HairEditorTPU(cfg)
+    sh = ShapeTrainer(cfg.shape)
+    sh_state = sh.init_state(jax.random.PRNGKey(3))
+    save_checkpoint(str(tmp_path / 'shape' / 'checkpoints'),
+                    jax.tree_util.tree_map(
+                        np.asarray, {'gen': sh_state.gen.params}), 11)
+    # shipped HSV slider table is picked up too
+    table = np.sort(np.random.default_rng(0).uniform(
+        0, 255, (50, 3)), axis=0).astype(np.float32)
+    with open(tmp_path / 'hsv_stat_dict_ordered.pkl', 'wb') as f:
+        pickle.dump(table, f)
+
+    be = Backend(blending=False, cfg=cfg, editor=editor,
+                 trained_root=str(tmp_path))
+    got = jax.tree_util.tree_leaves(be.editor.params['shape'])
+    want = jax.tree_util.tree_leaves(sh_state.gen.params)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert be.dist_translation.table is not None

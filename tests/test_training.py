@@ -302,3 +302,97 @@ def test_dp_tp_mesh_param_sharding():
         new_state, metrics = tr.train_step(state, batch, pred,
                                            jax.random.PRNGKey(2))
     assert bool(metrics['finite'])
+
+
+def test_kl_free_bits_floor():
+    """kl_loss_free_bits == kl_loss at free_bits=0; with a floor, collapsed
+    dimensions contribute the constant floor (gradient-free), so the total
+    can never be pushed below free_bits (the posterior-collapse counter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctrlhair_tpu.training import losses as L
+    rng = np.random.default_rng(0)
+    mean = jnp.asarray(rng.standard_normal((8, 16)), jnp.float32)
+    std = jnp.asarray(rng.uniform(0.5, 1.5, (8, 16)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(L.kl_loss_free_bits(mean, std, 0.0)),
+        np.asarray(L.kl_loss(mean, std)), rtol=1e-6)
+    # a collapsed posterior (mean 0, std 1): plain KL ~ 0, floored KL = fb
+    zm, zs = jnp.zeros((8, 16)), jnp.ones((8, 16))
+    assert float(L.kl_loss(zm, zs)) < 1e-3
+    fb = 0.25
+    np.testing.assert_allclose(
+        float(L.kl_loss_free_bits(zm, zs, fb)), fb, atol=1e-4)
+    # gradient through a collapsed dim is zero (the floor is a constant)
+    g = jax.grad(lambda m: L.kl_loss_free_bits(m, zs, fb))(zm)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_chunked_loop_matches_per_step():
+    """ChunkRunner(K steps per dispatch) matches the per-step host loop:
+    same per-step PRNG streams (batch_seed/step_seed offsets), same update
+    order, same recording cadence.  Numerics agree to float32 tolerance —
+    XLA fuses the scan body differently from the standalone step, so
+    rounding differs in the last bits (~1e-9 after 7 Adam steps)."""
+    from ctrlhair_tpu.training.chunked import ChunkRunner
+
+    tr = ShapeTrainer(TINY_SHAPE)
+    batch_seed, step_seed, total = 2_000_000, 0, 7
+
+    def make_batch(key):
+        return shape_batch(key, TINY_SHAPE, 2)
+
+    # per-step reference loop (exactly the soak's structure)
+    state_a = tr.init_state(jax.random.PRNGKey(0))
+    rows_a = []
+    for step in range(total):
+        b = make_batch(jax.random.PRNGKey(batch_seed + step))
+        state_a, m = tr.train_step(state_a, b,
+                                   jax.random.PRNGKey(step_seed + step))
+        if step % 2 == 0 or step == total - 1:
+            rows_a.append({'step': step,
+                           **{k: float(v) for k, v in m.items()}})
+
+    # chunked loop, uneven chunk size to exercise the remainder dispatch
+    runner = ChunkRunner(tr._train_step, make_batch,
+                         batch_seed=batch_seed, step_seed=step_seed)
+    state_b = tr.init_state(jax.random.PRNGKey(0))
+    seen_chunks = []
+    state_b, rows_b, trips = runner.run(
+        state_b, 0, total, chunk_size=3, record_every=2,
+        on_chunk=lambda s, st, rws: seen_chunks.append(s))
+    assert seen_chunks == [3, 6, 7]
+    assert trips == 0
+    assert int(np.asarray(state_b.step)) == total
+
+    assert [r['step'] for r in rows_b] == [r['step'] for r in rows_a]
+    for ra, rb in zip(rows_a, rows_b):
+        for k in ra:
+            np.testing.assert_allclose(rb[k], ra[k], rtol=1e-6, err_msg=k)
+    for la, lb in zip(jax.tree_util.tree_leaves(state_a.gen.params),
+                      jax.tree_util.tree_leaves(state_b.gen.params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_chunked_loop_resume_matches_straight_run():
+    """Stopping a chunked run mid-way and resuming from the returned state
+    continues the identical stream (start offsets are honoured)."""
+    from ctrlhair_tpu.training.chunked import ChunkRunner
+
+    tr = ShapeTrainer(TINY_SHAPE)
+
+    def make_batch(key):
+        return shape_batch(key, TINY_SHAPE, 2)
+
+    runner = ChunkRunner(tr._train_step, make_batch, batch_seed=77)
+    s1 = tr.init_state(jax.random.PRNGKey(0))
+    s1, _, _ = runner.run(s1, 0, 6, chunk_size=2)
+
+    s2 = tr.init_state(jax.random.PRNGKey(0))
+    s2, _, _ = runner.run(s2, 0, 4, chunk_size=4)
+    s2, _, _ = runner.run(s2, 4, 6, chunk_size=4)   # resume
+    for la, lb in zip(jax.tree_util.tree_leaves(s1.gen.params),
+                      jax.tree_util.tree_leaves(s2.gen.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
