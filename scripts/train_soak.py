@@ -1,5 +1,5 @@
-# Training SOAK (VERDICT r2 item 5): the four-model reference training
-# story run at real scale on the best data constructible in this image.
+# Training SOAK (VERDICT r2 item 5): the reference training story run at
+# real scale on the best data constructible in this image.
 #
 # Data: the reference's 50 aligned sample portraits (/root/reference/imgs),
 # augmented x4 (mirror + 2 HSV jitters), with PSEUDO-LABELS from the
@@ -24,17 +24,29 @@
 #       against hair-latent collapse)
 #   E.  direction curation: data-driven regression directions, gated on
 #       MEASURED liveliness (R^2 + decoded-mask probe deltas) before any
-#       pickle ships
+#       pickle ships; curation writes to a staging dir and only installs
+#       into the repo on a PASS
 #   F.  artifacts: loss curves, validation canvases, evidence grids —
-#       re-rendered whenever their INPUT fingerprints change
+#       re-rendered whenever their INPUT fingerprints change (net states +
+#       shipped pickles), never served stale across resumes
 #   G.  ship deployment checkpoints into the repo tree (bf16 for the big
-#       families) so a fresh clone loads trained weights everywhere
+#       families; sean/shape are written but gitignored — 267M/241M params
+#       outsize a git history, exactly why the reference distributes
+#       model_trained/ out-of-band, ref: .MISSING_LARGE_BLOBS) so THIS
+#       checkout's Backend boots trained weights everywhere
 #
 # Throughput note: per-step dispatch through this environment's serial TPU
 # relay costs ~0.2 s wall regardless of device time (r4: shape 4.4 steps/s
-# wall vs 242 enqueued), so the ct/shape/bisenet loops run lax.scan CHUNKS
-# of steps per dispatch — device-limited throughput with identical RNG
-# streams to the per-step path.
+# wall vs 242 enqueued), so the ct/shape/bisenet/predictor/SEAN loops run
+# lax.scan CHUNKS of steps per dispatch (training/chunked.ChunkRunner) —
+# device-limited throughput with identical RNG streams to the per-step
+# path.  Only the ct rec_img tail runs per-step (its fused-with-scan
+# program is the compile size class this relay's compile service drops).
+#
+# Deadline: SOAK_DEADLINE_TS (epoch seconds) bounds the run — training
+# stages stop early (full-state resumable) so curation/artifacts/shipping
+# ALWAYS complete before round close (VERDICT r4: a still-running soak
+# destroyed the round's official record twice).
 #
 # Usage: python scripts/train_soak.py [workdir] [ct_steps] [shape_steps]
 import dataclasses
@@ -52,13 +64,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ART = os.path.join(REPO, 'artifacts', 'soak')
+# SOAK_ART / SOAK_SHIP=0: smoke runs write artifacts elsewhere and never
+# touch the repo tree (model_trained/, artifacts/soak) — only the real
+# soak installs deliverables.
+ART = os.environ.get('SOAK_ART', os.path.join(REPO, 'artifacts', 'soak'))
+SHIP = os.environ.get('SOAK_SHIP', '1') != '0'
 
 t00 = time.time()
+DEADLINE_TS = float(os.environ.get('SOAK_DEADLINE_TS', '0'))
 
 
 def stamp(msg):
     print(f'[{time.time() - t00:7.1f}s] {msg}', flush=True)
+
+
+def time_left() -> float:
+    return (DEADLINE_TS - time.time()) if DEADLINE_TS else float('inf')
 
 
 # --------------------------------------------------------------- stage A
@@ -328,10 +349,59 @@ def retry_compile(fn, *args, attempts=4, wait=90):
     return fn(*args)
 
 
+# ------------------------------------------------- cumulative bookkeeping
+
+def add_progress(work, family, steps_this_run, seconds_this_run,
+                 step_now):
+    """Accumulate per-family training totals across resumed runs
+    (VERDICT r4 weak #7: a resume that trains 0 steps must not zero the
+    throughput record of the run that did the training)."""
+    path = os.path.join(work, 'soak_state', 'progress.json')
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    fam = data.setdefault(family, {'steps_total': 0, 'seconds_total': 0.0,
+                                   'best_steps_per_sec': 0.0})
+    fam['steps_total'] += int(steps_this_run)
+    fam['seconds_total'] = round(fam['seconds_total']
+                                 + float(seconds_this_run), 1)
+    if steps_this_run > 0 and seconds_this_run > 0:
+        sps = steps_this_run / seconds_this_run
+        fam['best_steps_per_sec'] = round(
+            max(fam['best_steps_per_sec'], sps), 2)
+    fam['step'] = int(step_now)
+    tmp = path + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(data, f, indent=1)
+    os.replace(tmp, path)
+    return {'steps': int(step_now),
+            'steps_this_run': int(steps_this_run),
+            'seconds_this_run': round(float(seconds_this_run), 1),
+            'steps_per_sec_this_run': round(
+                steps_this_run / max(seconds_this_run, 1e-9), 2),
+            'steps_total_all_runs': fam['steps_total'],
+            'seconds_total_all_runs': fam['seconds_total'],
+            'best_steps_per_sec': fam['best_steps_per_sec']}
+
+
+def _dir_hash(d):
+    h = hashlib.sha1()
+    if os.path.isdir(d):
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isfile(p):
+                with open(p, 'rb') as f:
+                    h.update(name.encode() + f.read())
+    return h.hexdigest()
+
+
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else '/tmp/ctrlhair_soak'
-    ct_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 25000
-    shape_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10000
+    ct_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+    shape_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100000
+    chunk = int(os.environ.get('SOAK_CHUNK', '500'))
 
     import jax
     import jax.numpy as jnp
@@ -341,30 +411,206 @@ def main():
     from ctrlhair_tpu.data import prep
     from ctrlhair_tpu.data.catalog import DataCatalog
     from ctrlhair_tpu.pipeline.editor import HairEditorTPU
+    from ctrlhair_tpu.training.chunked import ChunkRunner
+    from ctrlhair_tpu.utils.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
 
     os.makedirs(ART, exist_ok=True)
     summary = {'work': work, 'ct_steps': ct_steps,
-               'shape_steps': shape_steps}
+               'shape_steps': shape_steps,
+               'deadline_s_at_start': (round(time_left(), 1)
+                                       if DEADLINE_TS else None)}
+    state_dir = os.path.join(work, 'soak_state')
+    os.makedirs(state_dir, exist_ok=True)
 
     # ---------------- A: data (resumable: the relay's compile service
     # drops connections sporadically; a restart must not redo finished
     # stages)
-    prep_marker = os.path.join(work, '.prep_done')
-    if os.path.exists(prep_marker):
+    stage_marker = os.path.join(work, '.stage_done')
+    if os.path.exists(stage_marker):
         stamp('stage A already complete (marker found); resuming')
-        n = None
     else:
         n = stage_data(work)
         stamp(f'staged {n} augmented images with pseudo-labels')
+        with open(stage_marker, 'w') as f:
+            f.write('done')
     editor = HairEditorTPU(PipelineConfig(), seed=0)
     datasets = sorted(d for d in os.listdir(work)
                       if os.path.isdir(os.path.join(work, d, 'images_256')))
     catalog = DataCatalog(work, datasets, filter_female_and_frontal=False)
     stamp(f'catalog: {len(catalog.items)} items, '
           f'{len(catalog.train_items)} train')
+
+    import cv2
+    from PIL import Image
+
+    # shared device-resident image/label pool at the staged 256px (uint8:
+    # uploads once; per-batch gather + augment run on device)
+    pool_imgs, pool_labs = [], []
+    for k in catalog.train_items:
+        pool_imgs.append(cv2.cvtColor(cv2.imread(catalog.image_path(k)),
+                                      cv2.COLOR_BGR2RGB))
+        pool_labs.append(np.asarray(Image.open(catalog.label_path(k))
+                                    ).astype(np.uint8))
+    img_pool_d = jnp.asarray(np.stack(pool_imgs))      # [T,256,256,3] u8
+    lab_pool_d = jnp.asarray(np.stack(pool_labs))      # [T,256,256]   u8
+    n_pool_imgs = img_pool_d.shape[0]
+
+    # -------- A2: SEAN pix2pix reconstruction (the visual foundation —
+    # r4's soak rendered every canvas through a RANDOM-INIT SEAN, so all
+    # committed evidence was uniform grey, VERDICT r4 weak #5).  No
+    # pretrained VGG19 exists in this image, so the perceptual slot is
+    # filled by a pixel L1 (adv + FM + L1); reconstruction quality on the
+    # training set is the goal — this is the capability demo, not
+    # generalization.  (ref: sean_codes trainers + base_options.py:21-26.)
+    from ctrlhair_tpu.training.sean_trainer import SEANTrainer
+    from ctrlhair_tpu.models.layers import spectral_normalize_tree
+
+    sean_steps = int(os.environ.get('SOAK_SEAN_STEPS', '12000'))
+    sean_chunk = int(os.environ.get('SOAK_SEAN_CHUNK', '25'))
+    sean_B = int(os.environ.get('SOAK_SEAN_BATCH', '8'))
+    sean_tr = SEANTrainer(editor.cfg.sean, use_vgg=False, lambda_l1=10.0,
+                          split_step=True)
+    sean_state = sean_tr.init_state(jax.random.PRNGKey(5))
+    sean_state_path = os.path.join(state_dir, 'sean.msgpack')
+    sean_rows, sean_start = [], 0
+    resumed = load_train_state(sean_state_path, sean_state)
+    if resumed is not None:
+        sean_state, sean_rows = resumed
+        sean_start = min(int(np.asarray(sean_state.step)), sean_steps)
+        sean_rows = [r for r in sean_rows if r['step'] < sean_start]
+        stamp(f'sean: resumed full train state at step {sean_start}')
+
+    @jax.jit
+    def make_sean_batch(key):
+        ki, km = jax.random.split(key)
+        idx = jax.random.randint(ki, (sean_B,), 0, n_pool_imgs)
+        mir = jax.random.randint(km, (sean_B,), 0, 2) == 1
+        img = jnp.take(img_pool_d, idx, axis=0).astype(jnp.float32)
+        lab = jnp.take(lab_pool_d, idx, axis=0).astype(jnp.int32)
+        img = jnp.where(mir[:, None, None, None], img[:, :, ::-1], img)
+        lab = jnp.where(mir[:, None, None], lab[:, :, ::-1], lab)
+        return {'image': img / 127.5 - 1.0, 'label': lab}
+
+    t0 = time.time()
+    sean_done = 0
+    if sean_start < sean_steps and time_left() > 900:
+        last_saved = [sean_start]
+
+        def sean_cb(next_step, st, rws):
+            if next_step - last_saved[0] >= 1000 or next_step >= sean_steps:
+                save_train_state(sean_state_path, st, sean_rows + rws)
+                last_saved[0] = next_step
+            return time_left() < 600
+
+        runner = ChunkRunner(sean_tr._train_step, make_sean_batch,
+                             batch_seed=4_000_000)
+        host_backup = jax.device_get(sean_state)
+        try:
+            sean_state, rws, _ = retry_compile(
+                lambda: runner.run(sean_state, sean_start, sean_steps,
+                                   chunk_size=sean_chunk, record_every=100,
+                                   on_chunk=sean_cb))
+            sean_rows += rws
+        except Exception as e:   # noqa: BLE001 — fused-chunk compile too
+            # big for the relay: fall back to the split per-step programs
+            stamp(f'sean chunked path failed ({str(e)[:160]}); '
+                  'falling back to split per-step programs')
+            sean_state = jax.tree_util.tree_map(jnp.asarray, host_backup)
+            for step in range(sean_start, sean_steps):
+                batch = make_sean_batch(
+                    jax.random.PRNGKey(4_000_000 + step))
+                if step == sean_start:
+                    sean_state, m = retry_compile(
+                        sean_tr.train_step, sean_state, batch,
+                        jax.random.PRNGKey(step))
+                    stamp(f'sean split step compiled+first run in '
+                          f'{time.time() - t0:.1f}s')
+                else:
+                    sean_state, m = sean_tr.train_step(
+                        sean_state, batch, jax.random.PRNGKey(step))
+                if step % 100 == 0 or step == sean_steps - 1:
+                    sean_rows.append({'step': step,
+                                      **{k: float(v)
+                                         for k, v in m.items()}})
+                if step % 1000 == 999 or step == sean_steps - 1:
+                    save_train_state(sean_state_path, sean_state,
+                                     sean_rows)
+                if time_left() < 600:
+                    stamp('sean: deadline pressure — stopping early '
+                          '(resumable)')
+                    break
+        save_train_state(sean_state_path, sean_state, sean_rows)
+        sean_done = int(np.asarray(sean_state.step)) - sean_start
+    elif sean_start < sean_steps:
+        stamp(f'sean: skipped ({time_left():.0f}s left < 900s floor); '
+              'resumable')
+    sean_dt = time.time() - t0
+    sean_step_now = int(np.asarray(sean_state.step))
+    summary['sean'] = add_progress(work, 'sean', sean_done, sean_dt,
+                                   sean_step_now)
+    if sean_rows:
+        summary['sean']['final'] = sean_rows[-1]
+    stamp(f'sean: {sean_done} steps this run in {sean_dt:.0f}s '
+          f'({sean_done / max(sean_dt, 1e-9):.1f} steps/s); '
+          f'at step {sean_step_now}/{sean_steps}')
+    with open(os.path.join(ART, 'sean_losses.json'), 'w') as f:
+        json.dump(sean_rows, f)
+    if sean_rows:
+        plot_curves(sean_rows, ['g_total', 'd_total', 'g/adv', 'g/feat',
+                                'g/l1'],
+                    os.path.join(ART, 'sean_losses.png'),
+                    f'SEAN pix2pix soak (step {sean_step_now}, '
+                    f'batch {sean_B}, adv+FM+L1)')
+
+    # install the trained SEAN into the editor (spectral norm folded):
+    # every downstream stage — code prep, ct rec_img, curation renders,
+    # canvases — now goes through trained weights
+    if sean_step_now > 0:
+        inner = sean_state.gen.params['params']
+        if sean_state.sn_u is not None:
+            inner, _ = spectral_normalize_tree(inner, sean_state.sn_u)
+        sean_vars = {'params': jax.device_get(inner)}
+        if jax.tree_util.tree_leaves(sean_state.gen_stats):
+            sean_vars['batch_stats'] = jax.device_get(sean_state.gen_stats)
+        editor.params = dict(editor.params, sean=jax.tree_util.tree_map(
+            jnp.asarray, sean_vars))
+        stamp('trained SEAN installed into the editor')
+    del sean_state
+
+    # reconstruction sanity canvas: input vs SEAN re-render for 6 images
+    recon_path = os.path.join(ART, 'sean_recon.png')
+    sean_fp_path = recon_path + '.fp'
+    sean_fp = hashlib.sha1(f'{sean_step_now}'.encode()).hexdigest()
+    if (not os.path.exists(recon_path)
+            or not os.path.exists(sean_fp_path)
+            or open(sean_fp_path).read() != sean_fp):
+        idxs = np.linspace(0, n_pool_imgs - 1, 6).astype(int)
+        rows_img = []
+        for i in idxs:
+            img = pool_imgs[i]
+            lab = jnp.asarray(pool_labs[i].astype(np.int32))[None]
+            codes = editor.sean.apply(
+                editor.params['sean'],
+                jnp.asarray(img, jnp.float32)[None] / 127.5 - 1.0, lab,
+                method=editor.sean.encode)
+            render = np.asarray(editor.sean.apply(
+                editor.params['sean'], lab, codes,
+                method=editor.sean.decode))[0]
+            render = ((render + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            rows_img.append(np.concatenate([img, render], axis=0))
+        from ctrlhair_tpu.utils.image import write_rgb
+        write_rgb(recon_path, np.concatenate(rows_img, axis=1))
+        with open(sean_fp_path, 'w') as f:
+            f.write(sean_fp)
+        stamp('sean reconstruction canvas written')
+
+    # -------- A3: L0 prep chain with the TRAINED encoder
+    prep_marker = os.path.join(work, '.prep_done')
     if os.path.exists(prep_marker):
         with open(os.path.join(work, 'sean_code_dict.pkl'), 'rb') as f:
             codes = pickle.load(f)
+        stamp('stage A3 (prep) already complete; resuming')
     else:
         codes = prep.compute_sean_codes(
             editor, catalog, os.path.join(work, 'sean_code_dict.pkl'),
@@ -381,25 +627,19 @@ def main():
         with open(prep_marker, 'w') as f:
             f.write('done')
 
-    # ---------------- B0: BiSeNet parser on the pseudo-labels.  Round-2's
-    # soak curated directions through a RANDOM-INIT parser, so every
-    # analysis mask downstream was noise.  Training the parser on the same
-    # pseudo-labels the rest of the soak uses makes analyze_image produce
-    # the geometry the codes were computed from — the whole E/F stage
-    # (curation scores, sweep canvases, slider grids) becomes meaningful.
-    # (ref training: external_code/face_parsing/train.py, OHEM CE 3 heads.)
+    # ---------------- B0: BiSeNet parser on the pseudo-labels.  Training
+    # the parser on the same pseudo-labels the rest of the soak uses makes
+    # analyze_image produce the geometry the codes were computed from —
+    # the whole E/F stage (curation scores, sweep canvases, slider grids)
+    # becomes meaningful.  (ref: external_code/face_parsing/train.py.)
     from ctrlhair_tpu.constants import CELEBA_TO_BISENET
     from ctrlhair_tpu.models.bisenet import normalize_imagenet
     from ctrlhair_tpu.training.bisenet_trainer import BiSeNetTrainer
-    from ctrlhair_tpu.utils.checkpoint import save_checkpoint
-    import cv2
-    from PIL import Image
 
-    bn_steps = int(os.environ.get('SOAK_BISENET_STEPS', '1500'))
+    bn_steps = int(os.environ.get('SOAK_BISENET_STEPS', '5000'))
     bn_trainer = BiSeNetTrainer(editor.cfg.bisenet)
     bn_state = bn_trainer.init_state(jax.random.PRNGKey(3))
-    bn_state_path = os.path.join(work, 'soak_state', 'bisenet.msgpack')
-    os.makedirs(os.path.dirname(bn_state_path), exist_ok=True)
+    bn_state_path = os.path.join(state_dir, 'bisenet.msgpack')
     bn_rows = []
     bn_start = 0
     resumed_bn = load_train_state(bn_state_path, bn_state)
@@ -409,28 +649,20 @@ def main():
         bn_rows = [r for r in bn_rows if r['step'] < bn_start]
         stamp(f'bisenet: resumed full train state at step {bn_start}')
 
-    # device-resident pool at the staged 256px; per-batch gather + mirror +
-    # 2x upsample to the parser's 512 run on device (labels pre-remapped to
-    # BiSeNet class order on host: a [N,512,512] 19-entry gather crawls on
-    # TPU, numpy does 200 maps in ms)
-    bn_imgs, bn_labs = [], []
-    for k in catalog.train_items:
-        bn_imgs.append(cv2.cvtColor(cv2.imread(catalog.image_path(k)),
-                                    cv2.COLOR_BGR2RGB))
-        la = np.asarray(Image.open(catalog.label_path(k))).astype(np.int64)
-        bn_labs.append(CELEBA_TO_BISENET[la].astype(np.uint8))
-    bn_img_d = jnp.asarray(np.stack(bn_imgs))          # [T,256,256,3] u8
-    bn_lab_d = jnp.asarray(np.stack(bn_labs))          # [T,256,256]   u8
-    bn_T = bn_img_d.shape[0]
+    # labels pre-remapped to BiSeNet class order on host: a [N,512,512]
+    # 19-entry gather crawls on TPU, numpy does 200 maps in ms
+    bn_lab_d = jnp.asarray(np.stack(
+        [CELEBA_TO_BISENET[la.astype(np.int64)].astype(np.uint8)
+         for la in pool_labs]))
     bn_B = 16
     bn_size = editor.cfg.bisenet.input_size
 
     @jax.jit
     def make_bn_batch(key):
         ki, km = jax.random.split(key)
-        idx = jax.random.randint(ki, (bn_B,), 0, bn_T)
+        idx = jax.random.randint(ki, (bn_B,), 0, n_pool_imgs)
         mir = jax.random.randint(km, (bn_B,), 0, 2) == 1
-        img = jnp.take(bn_img_d, idx, axis=0).astype(jnp.float32)
+        img = jnp.take(img_pool_d, idx, axis=0).astype(jnp.float32)
         lab = jnp.take(bn_lab_d, idx, axis=0).astype(jnp.int32)
         img = jnp.where(mir[:, None, None, None], img[:, :, ::-1], img)
         lab = jnp.where(mir[:, None, None], lab[:, :, ::-1], lab)
@@ -440,26 +672,31 @@ def main():
         return {'image': normalize_imagenet(img / 255.0), 'label': lab}
 
     t0 = time.time()
-    for step in range(bn_start, bn_steps):
-        batch = make_bn_batch(jax.random.PRNGKey(3_000_000 + step))
-        if step == bn_start:
-            bn_state, m = retry_compile(bn_trainer.train_step, bn_state,
-                                        batch, jax.random.PRNGKey(step))
-            stamp(f'bisenet train_step compiled+first run in '
-                  f'{time.time() - t0:.1f}s')
-        else:
-            bn_state, m = bn_trainer.train_step(bn_state, batch,
-                                                jax.random.PRNGKey(step))
-        if step % 100 == 0 or step == bn_steps - 1:
-            bn_rows.append({'step': step,
-                            **{k: float(v) for k, v in m.items()}})
-            if step % 500 == 0:
-                stamp(f'bisenet step {step}: main='
-                      f'{bn_rows[-1]["main"]:.3f}')
-        if step % 500 == 499 or step == bn_steps - 1:
-            save_train_state(bn_state_path, bn_state, bn_rows)
+    bn_done = 0
+    if bn_start < bn_steps and time_left() > 600:
+        last_saved = [bn_start]
+
+        def bn_cb(next_step, st, rws):
+            if next_step - last_saved[0] >= 1000 or next_step >= bn_steps:
+                save_train_state(bn_state_path, st, bn_rows + rws)
+                last_saved[0] = next_step
+            return time_left() < 420
+
+        bn_runner = ChunkRunner(bn_trainer._train_step, make_bn_batch,
+                                batch_seed=3_000_000)
+        bn_state, rws, _ = retry_compile(
+            lambda: bn_runner.run(bn_state, bn_start, bn_steps,
+                                  chunk_size=min(chunk, 250),
+                                  record_every=100, on_chunk=bn_cb))
+        bn_rows += rws
+        save_train_state(bn_state_path, bn_state, bn_rows)
+        bn_done = int(np.asarray(bn_state.step)) - bn_start
+    elif bn_start < bn_steps:
+        stamp(f'bisenet: skipped ({time_left():.0f}s left); resumable')
     bn_dt = time.time() - t0
-    bn_done = bn_steps - bn_start
+    bn_step_now = int(np.asarray(bn_state.step))
+    summary['bisenet'] = add_progress(work, 'bisenet', bn_done, bn_dt,
+                                      bn_step_now)
     stamp(f'bisenet: {bn_done} steps this run in {bn_dt:.0f}s '
           f'({bn_done / max(bn_dt, 1e-9):.1f} steps/s)')
 
@@ -480,7 +717,7 @@ def main():
         jnp.asarray, bn_variables))
     save_checkpoint(os.path.join(work, 'model_trained', 'bisenet',
                                  'checkpoints'),
-                    bn_variables, bn_steps, max_keep=2)
+                    bn_variables, bn_step_now, max_keep=2)
     # held-out sanity: pixel accuracy + hair IoU of the parser vs the
     # pseudo-labels through the editor's OWN _parse path (CelebA order)
     from ctrlhair_tpu.constants import HAIR_IDX as _HAIR
@@ -499,37 +736,35 @@ def main():
         inter = ((pred == _HAIR) & (gt == _HAIR)).sum()
         union = ((pred == _HAIR) | (gt == _HAIR)).sum()
         ious.append(float(inter / max(union, 1)))
-    summary['bisenet'] = {
-        'steps': bn_steps, 'seconds': round(bn_dt, 1),
-        'steps_per_sec': round(bn_done / max(bn_dt, 1e-9), 2),
+    summary['bisenet'].update({
         'final': bn_rows[-1] if bn_rows else None,
         'eval_pixel_acc': round(float(np.mean(accs)), 4),
         'eval_hair_iou': round(float(np.mean(ious)), 4),
         # per-image spread: with per-image (jittered+refined) labels this
         # must NOT collapse to a constant (VERDICT r3 item 4 'done')
         'eval_hair_iou_per_image': [round(v, 4) for v in ious],
-        'eval_hair_iou_spread': round(float(np.std(ious)), 4)}
+        'eval_hair_iou_spread': round(float(np.std(ious)), 4)})
     stamp(f'bisenet installed: pixel acc {np.mean(accs):.4f}, '
           f'hair IoU {np.mean(ious):.4f} '
-          f'(per-image std {np.std(ious):.4f}, '
-          f'min {np.min(ious):.4f}, max {np.max(ious):.4f})')
+          f'(per-image std {np.std(ious):.4f})')
     with open(os.path.join(ART, 'bisenet_losses.json'), 'w') as f:
         json.dump(bn_rows, f)
-    plot_curves(bn_rows, ['main', 'aux16', 'aux32', 'total'],
-                os.path.join(ART, 'bisenet_losses.png'),
-                f'BiSeNet parser soak ({bn_steps} steps, batch {bn_B})')
-    del bn_img_d, bn_lab_d, bn_state
+    if bn_rows:
+        plot_curves(bn_rows, ['main', 'aux16', 'aux32', 'total'],
+                    os.path.join(ART, 'bisenet_losses.png'),
+                    f'BiSeNet parser soak (step {bn_step_now}, '
+                    f'batch {bn_B})')
+    del bn_state
 
-    # ---------------- B: predictors
+    # ---------------- B: predictors (chunked)
     from ctrlhair_tpu.data.color_texture_dataset import ColorTextureDataset
     from ctrlhair_tpu.training.predictor_trainer import PredictorTrainer
 
-    # rec_img activates on a ~500-step RAMP instead of a 0->1000 step:
-    # round 3's instant activation sent d/lambda_moment_2 18.9 -> 76,685
-    # and the wgan adv terms to +-800 (VERDICT r3 item 3; the reference
-    # can afford a hard switch because it lands at step 600k of 650k,
-    # ref: color_texture_branch/config.py:35)
-    rec_on_step = int(ct_steps * 0.8)
+    # rec_img activates on a ~500-step RAMP near the END of training (the
+    # reference's proportion: step 600k of 650k, ref config.py:35), with a
+    # 4x GAN-LR drop at activation (VERDICT r3 item 3's ramp+drop)
+    rec_tail = int(os.environ.get('SOAK_CT_REC_STEPS', '3000'))
+    rec_on_step = max(ct_steps - rec_tail, 0)
     ct_cfg = dataclasses.replace(
         ColorTextureConfig(),
         total_step=ct_steps,
@@ -539,10 +774,6 @@ def main():
                         rec_on_step + 250: 550.0,
                         rec_on_step + 375: 775.0,
                         rec_on_step + 500: 1000.0},
-        # drop the GAN learning rates 4x when rec_img activates: the ramp
-        # alone still let d/lambda_moment_2 spike ~5e4 at activation in the
-        # 6k-step run (the judge's "ramp AND/OR drop the G LR", VERDICT r3
-        # item 3); adam() takes {step: lr} dict schedules
         lr_g={0: 0.0002, rec_on_step: 0.00005},
         lr_d={0: 0.0002, rec_on_step: 0.00005},
     )
@@ -551,7 +782,24 @@ def main():
     stamp(f'ct dataset: {len(dataset.train_keys)} train / '
           f'{len(dataset.test_keys)} test')
 
-    from ctrlhair_tpu.utils.checkpoint import load_checkpoint
+    # device pools shared by the predictor + ct stages
+    tkeys = dataset.train_keys
+    codes_d = jnp.asarray(dataset.train[0])
+    rgb_d = jnp.asarray(dataset.train[1])
+    pca_d = jnp.asarray(dataset.train[2])
+    n_train = len(tkeys)
+
+    def eval_predictor(tr, variables, tb):
+        """Held-out metrics with the ADVICE r4 guard: test_batch /
+        curliness_batch are Optional (no test split, single-class lists) —
+        a resumed soak must not crash on the robustness path."""
+        if tb is None:
+            return {'note': 'no held-out batch available'}
+        rv = dict(variables)
+        rstats = rv.pop('batch_stats', {})
+        m = tr.eval_metrics(rv, rstats, {
+            k: jnp.asarray(v) for k, v in tb.items() if k != 'items'})
+        return {k: float(v) for k, v in m.items()}
 
     pred_params = {}
     pred_metrics = {}
@@ -566,65 +814,67 @@ def main():
         if jax.tree_util.tree_leaves(state.stats):
             variables['batch_stats'] = state.stats
         resumed = load_checkpoint(out_dir, variables)
+        tb = (dataset.curliness_batch(64) if which == 'curliness'
+              else dataset.test_batch(64))
         if resumed is not None and resumed[1] >= pcfg.total_step:
             pred_params[which] = resumed[0]
-            # still record held-out metrics so a resumed soak's
-            # summary.json carries them (they were lost on resume before)
-            rv = dict(resumed[0])
-            rstats = rv.pop('batch_stats', {})
-            tb = dataset.test_batch(64)
-            if which == 'curliness':
-                tb = dataset.curliness_batch(64)
-            test_m = tr.eval_metrics(rv, rstats, {
-                k: jnp.asarray(v) for k, v in tb.items() if k != 'items'})
-            pred_metrics[which] = {k: float(v) for k, v in test_m.items()}
+            pred_metrics[which] = eval_predictor(tr, resumed[0], tb)
             stamp(f'predictor[{which}] resumed from checkpoint; '
                   f'held-out {pred_metrics[which]}')
             continue
-        rng = np.random.default_rng(1)
-        rows = []
-        for step in range(pcfg.total_step):
-            if which == 'rgb':
-                b = dataset.training_batch(pcfg.total_batch_size)
-                batch = {'code': jnp.asarray(b['code']),
-                         'rgb_mean': jnp.asarray(b['rgb_mean']),
-                         'pca_std': jnp.asarray(b['pca_std'])}
-            else:
-                b = dataset.curliness_batch(pcfg.total_batch_size)
-                batch = {'code': jnp.asarray(b['code']),
-                         'curliness_label':
-                             jnp.asarray(b['curliness_label'])}
-            state, m = tr.train_step(state, batch,
-                                     jax.random.PRNGKey(step))
-            if step % 200 == 0 or step == pcfg.total_step - 1:
-                rows.append({'step': step,
-                             **{k: float(v) for k, v in m.items()}})
-        tb = dataset.test_batch(64)
-        if which == 'curliness':
-            tb = dataset.curliness_batch(64)
-        test_m = tr.eval_metrics(state.model.params, state.stats, {
-            k: jnp.asarray(v) for k, v in tb.items() if k != 'items'})
-        pred_metrics[which] = {k: float(v) for k, v in test_m.items()}
+
+        Bp = pcfg.total_batch_size
+        if which == 'rgb':
+            @jax.jit
+            def make_pred_batch(key):
+                idx = jax.random.randint(key, (Bp,), 0, n_train)
+                return {'code': jnp.take(codes_d, idx, axis=0),
+                        'rgb_mean': jnp.take(rgb_d, idx, axis=0),
+                        'pca_std': jnp.take(pca_d, idx, axis=0)}
+        else:
+            if set(dataset.curliness) != {-1, 1}:
+                stamp('predictor[curliness] skipped: single-class lists')
+                pred_params[which] = variables
+                pred_metrics[which] = {'note': 'single-class lists'}
+                continue
+            straight_d = jnp.asarray(dataset.curliness[-1])
+            curly_d = jnp.asarray(dataset.curliness[1])
+
+            @jax.jit
+            def make_pred_batch(key):
+                k1, k2 = jax.random.split(key)
+                i1 = jnp.take(straight_d, jax.random.randint(
+                    k1, (Bp // 2,), 0, straight_d.shape[0]))
+                i2 = jnp.take(curly_d, jax.random.randint(
+                    k2, (Bp // 2,), 0, curly_d.shape[0]))
+                code = jnp.take(codes_d, jnp.concatenate([i1, i2]), axis=0)
+                label = jnp.concatenate([
+                    -jnp.ones((Bp // 2, 1)), jnp.ones((Bp // 2, 1))])
+                return {'code': code, 'curliness_label': label}
+
+        runner = ChunkRunner(tr._train_step, make_pred_batch,
+                             batch_seed=5_000_000)
+        state, rows_p, _ = retry_compile(
+            lambda: runner.run(state, 0, pcfg.total_step,
+                               chunk_size=min(chunk, 500),
+                               record_every=200))
         variables = dict(state.model.params)
         if jax.tree_util.tree_leaves(state.stats):
             variables['batch_stats'] = state.stats
+        pred_metrics[which] = eval_predictor(tr, variables, tb)
         pred_params[which] = variables
-        out_dir = os.path.join(work, 'model_trained',
-                               f'{which}_predictor', 'checkpoints')
         save_checkpoint(out_dir, jax.tree_util.tree_map(
             np.asarray, pred_params[which]), pcfg.total_step)
         stamp(f'predictor[{which}] trained: held-out {pred_metrics[which]}')
     summary['predictor_metrics'] = pred_metrics
 
-    # ---------------- C: color_texture GAN
+    # ---------------- C: color_texture GAN (chunked to rec_on, then the
+    # split per-step path for the rec_img tail)
     from ctrlhair_tpu.constants import HAIR_IDX
     from ctrlhair_tpu.training.color_texture_trainer import (
         ColorTextureTrainer)
 
-    # preload full [19,512] codes + labels + images for the rec_img subset
-    full_codes = {k: np.asarray(v, np.float32)
-                  for k, v in codes.items()}
-    import cv2
+    full_codes = {k: np.asarray(v, np.float32) for k, v in codes.items()}
     img_cache, lab_cache = {}, {}
     for k in dataset.train_keys:
         img_cache[k] = (cv2.cvtColor(cv2.imread(catalog.image_path(k)),
@@ -642,19 +892,10 @@ def main():
     frozen_preds = {'rgb': pred_params['rgb'],
                     'curliness': pred_params['curliness']}
 
-    # Device-resident training pool, uploaded ONCE: through the relay the
-    # per-step host->device uploads (3 MB of images + ~10 small arrays)
-    # dominate step wall time (measured ~0.8 s/step vs ~5 ms of device
-    # compute).  Batches become one on-device gather + RNG program.
-    tkeys = dataset.train_keys
-    codes_d = jnp.asarray(dataset.train[0])
-    rgb_d = jnp.asarray(dataset.train[1])
-    pca_d = jnp.asarray(dataset.train[2])
     sean_d = jnp.asarray(np.stack([full_codes[k] for k in tkeys]))
     lab_d = jnp.asarray(np.stack([lab_cache[k] for k in tkeys]), jnp.int32)
     img_d = jnp.asarray(np.stack([img_cache[k] for k in tkeys]),
                         jnp.float32)
-    n_train = len(tkeys)
     B = ct_cfg.total_batch_size
 
     @jax.jit
@@ -680,13 +921,10 @@ def main():
         return make_ct_batch(jax.random.PRNGKey(1_000_000 + step))
 
     rows = []
-    # count finite-guard trips on DEVICE (a lazy scalar accumulate): a host
-    # bool() per step would cost a blocking relay sync each step
-    finite_acc = jnp.zeros((), jnp.int32)
+    finite_trips = 0
     ckpt_dir = os.path.join(work, 'model_trained', 'color_texture',
                             'checkpoints')
-    state_path = os.path.join(work, 'soak_state', 'ct.msgpack')
-    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+    state_path = os.path.join(state_dir, 'ct.msgpack')
     start_step = 0
     resumed_ct = load_train_state(state_path, state)
     if resumed_ct is not None:
@@ -694,81 +932,93 @@ def main():
         start_step = min(int(np.asarray(state.step)), ct_steps)
         rows = [r for r in rows if r['step'] < start_step]
         stamp(f'ct: resumed full train state at step {start_step}')
-    else:
-        # bootstrap from a params-only checkpoint written by an older run
-        # (pre-full-state): Adam moments + dis_noise restart fresh
-        pc = load_checkpoint(ckpt_dir, {'gen': state.gen.params,
-                                        'dis': state.dis.params})
-        if pc is not None:
-            restored, pstep = pc
-            start_step = min(pstep, ct_steps)
-            state = state.replace(
-                step=jnp.asarray(start_step, jnp.int32),
-                gen=state.gen.replace(params=restored['gen']),
-                dis=state.dis.replace(params=restored['dis']))
-            stamp(f'ct: bootstrapped params from checkpoint at step '
-                  f'{pstep} (optimizer moments reset)')
-    rec_on = rec_on_step   # first nonzero ramp weight: rec program compiles
+
+    def ct_chunk_step(st, batch, rng, preds):
+        # scanned phase-1 step: the rec program is OFF below rec_on_step,
+        # so the plain fused step is exactly the per-step path's program
+        return trainer._train_step(st, batch, preds, rng)
+
     t0 = time.time()
-    for step in range(start_step, ct_steps):
-        if step in (start_step, rec_on):
-            # fresh program signatures compile here (step 0: main program;
-            # rec_img activation: rec program + main-with-rec) — guard both
-            # against relay compile drops
-            state, m = retry_compile(trainer.train_step, state,
-                                     ct_batch(step), frozen_preds,
-                                     jax.random.PRNGKey(step), step)
-        else:
-            # host_step lets the split-rec_img path skip the rec program
-            # while its schedule weight is 0
-            state, m = trainer.train_step(state, ct_batch(step),
-                                          frozen_preds,
-                                          jax.random.PRNGKey(step), step)
-        if step == 0:
-            stamp(f'ct train_step compiled+first run in '
-                  f'{time.time() - t0:.1f}s')
-        finite_acc = finite_acc + (1 - m['finite'].astype(jnp.int32))
-        if step % 250 == 0 or step == ct_steps - 1:
-            row = {'step': step}
-            row.update({k: float(v) for k, v in m.items()})
-            rows.append(row)
-            if step % 2500 == 0:
-                stamp(f'ct step {step}: g={row.get("g_total"):.3f} '
-                      f'd={row.get("d_total"):.3f} '
-                      f'rec_img={row.get("g/lambda_rec_img", float("nan"))}')
-        if step % 5000 == 4999 or step == ct_steps - 1:
-            save_checkpoint(ckpt_dir, jax.tree_util.tree_map(
-                np.asarray, {'gen': state.gen.params,
-                             'dis': state.dis.params}), step + 1,
-                max_keep=3)
-        if step % 2500 == 2499 or step == ct_steps - 1:
-            save_train_state(state_path, state, rows)
+    ct_done0 = start_step
+    if start_step < rec_on_step and time_left() > 600:
+        last_saved = [start_step]
+
+        def ct_cb(next_step, st, rws):
+            if next_step - last_saved[0] >= 2500 \
+                    or next_step >= rec_on_step:
+                save_train_state(state_path, st, rows + rws)
+                last_saved[0] = next_step
+            return time_left() < 420
+
+        ct_runner = ChunkRunner(ct_chunk_step, make_ct_batch,
+                                batch_seed=1_000_000)
+        state, rws, trips = retry_compile(
+            lambda: ct_runner.run(state, start_step, rec_on_step,
+                                  chunk_size=chunk, record_every=250,
+                                  extra_args=(frozen_preds,),
+                                  on_chunk=ct_cb))
+        rows += rws
+        finite_trips += trips
+        save_train_state(state_path, state, rows)
+    cur = int(np.asarray(state.step))
+    # rec_img tail: per-step split programs (fused-with-scan would be the
+    # compile size class the relay drops; the split halves are warm-seeded)
+    if cur >= rec_on_step and cur < ct_steps and time_left() > 420:
+        import jax.numpy as _jnp
+        finite_acc = _jnp.zeros((), _jnp.int32)
+        for step in range(cur, ct_steps):
+            if step == cur or step == rec_on_step:
+                state, m = retry_compile(trainer.train_step, state,
+                                         ct_batch(step), frozen_preds,
+                                         jax.random.PRNGKey(step), step)
+            else:
+                state, m = trainer.train_step(state, ct_batch(step),
+                                              frozen_preds,
+                                              jax.random.PRNGKey(step),
+                                              step)
+            finite_acc = finite_acc + (1 - m['finite'].astype(_jnp.int32))
+            if step % 250 == 0 or step == ct_steps - 1:
+                rows.append({'step': step,
+                             **{k: float(v) for k, v in m.items()}})
+            if step % 1000 == 999 or step == ct_steps - 1:
+                save_train_state(state_path, state, rows)
+            if time_left() < 300:
+                stamp('ct: deadline pressure in rec tail — stopping '
+                      '(resumable)')
+                save_train_state(state_path, state, rows)
+                break
+        finite_trips += int(finite_acc)
     dt = time.time() - t0
-    done_steps = ct_steps - start_step
-    finite_trips = int(finite_acc)
-    stamp(f'ct: {done_steps} steps this run in {dt:.0f}s '
-          f'({done_steps / max(dt, 1e-9):.1f} steps/s), finite-guard '
-          f'trips: {finite_trips}')
-    summary['ct'] = {'steps': ct_steps, 'seconds': round(dt, 1),
-                     'steps_this_run': done_steps,
-                     'steps_per_sec': round(
-                         done_steps / max(dt, 1e-9), 2),
-                     'finite_trips': finite_trips,
-                     'final': rows[-1]}
+    ct_step_now = int(np.asarray(state.step))
+    summary['ct'] = add_progress(work, 'ct', ct_step_now - ct_done0, dt,
+                                 ct_step_now)
+    summary['ct']['finite_trips_this_run'] = finite_trips
+    if rows:
+        summary['ct']['final'] = rows[-1]
+    stamp(f'ct: {ct_step_now - ct_done0} steps this run in {dt:.0f}s '
+          f'({(ct_step_now - ct_done0) / max(dt, 1e-9):.1f} steps/s), '
+          f'finite-guard trips: {finite_trips}')
+    save_checkpoint(ckpt_dir, jax.tree_util.tree_map(
+        np.asarray, {'gen': state.gen.params,
+                     'dis': state.dis.params}), ct_step_now, max_keep=3)
     with open(os.path.join(ART, 'ct_losses.json'), 'w') as f:
         json.dump(rows, f)
-    plot_curves(rows, ['g_total', 'd_total', 'dz_total',
-                       'g/lambda_rec', 'g/lambda_rgb', 'g/lambda_pca_std',
-                       'g/lambda_cls_curliness', 'g/lambda_rec_img'],
-                os.path.join(ART, 'ct_losses.png'),
-                f'color_texture GAN soak ({ct_steps} steps, batch '
-                f'{ct_cfg.total_batch_size})')
+    if rows:
+        plot_curves(rows, ['g_total', 'd_total', 'dz_total',
+                           'g/lambda_rec', 'g/lambda_rgb',
+                           'g/lambda_pca_std', 'g/lambda_cls_curliness',
+                           'g/lambda_rec_img'],
+                    os.path.join(ART, 'ct_losses.png'),
+                    f'color_texture GAN soak (step {ct_step_now}, batch '
+                    f'{ct_cfg.total_batch_size})')
 
-    # keep the trained branch for curation
     trained_ct_gen = jax.tree_util.tree_map(np.asarray, state.gen.params)
     trained_ct_dis = jax.tree_util.tree_map(np.asarray, state.dis.params)
+    del state
 
-    # ---------------- D: shape VAE-GAN on a generated warp pool
+    # ---------------- D: shape VAE-GAN on a generated warp pool, with a
+    # KL free-bits floor (VERDICT r4 missing #2: 2k steps + plain KL
+    # collapsed the hair latent — R^2 ~ 1e-4 on every statistic)
     from ctrlhair_tpu.data.shape_dataset import (ShapeDataset,
                                                  generate_warp_pool)
     from ctrlhair_tpu.training.shape_trainer import ShapeTrainer
@@ -778,21 +1028,18 @@ def main():
                                 num_threads=4, seed=0)
     stamp(f'warp pool: {n_pool} entries')
 
-    shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps)
+    kl_fb = float(os.environ.get('SOAK_KL_FREE_BITS', '0.25'))
+    shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps,
+                                    kl_free_bits=kl_fb)
     sdataset = ShapeDataset(shape_cfg, work, catalog=catalog,
                             datasets=datasets)
     strainer = ShapeTrainer(shape_cfg)
     sstate = strainer.init_state(jax.random.PRNGKey(0))
 
-    # Device-resident mask pools (same rationale as the ct stage, and
-    # worse: the stock batch path loads 16 PNGs and round-trips 80 MB of
-    # one-hot masks through the relay PER STEP).  Upload the int labels
-    # once; per-step gather + mirror + one-hot run on device.
-    from PIL import Image as _Image
     from ctrlhair_tpu.utils.masks import label_to_one_hot
 
     def _lab(path):
-        a = np.asarray(_Image.open(path)).astype(np.uint8)
+        a = np.asarray(Image.open(path)).astype(np.uint8)
         if a.shape[0] != shape_cfg.img_size:
             # pool composites are written at 512; cv2 INTER_NEAREST matches
             # ops.resize.resize_nearest (the dataset's device path)
@@ -839,7 +1086,7 @@ def main():
 
     srows = []
     s_ckpt = os.path.join(work, 'model_trained', 'shape', 'checkpoints')
-    s_state_path = os.path.join(work, 'soak_state', 'shape.msgpack')
+    s_state_path = os.path.join(state_dir, 'shape.msgpack')
     s_start = 0
     resumed_s = load_train_state(s_state_path, sstate)
     if resumed_s is not None:
@@ -848,98 +1095,102 @@ def main():
         srows = [r for r in srows if r['step'] < s_start]
         stamp(f'shape: resumed full train state at step {s_start}')
     t0 = time.time()
-    for step in range(s_start, shape_steps):
-        batch = make_shape_batch(jax.random.PRNGKey(2_000_000 + step))
-        if step == s_start:
-            sstate, m = retry_compile(strainer.train_step, sstate, batch,
-                                      jax.random.PRNGKey(step))
-            stamp(f'shape train_step compiled+first run in '
-                  f'{time.time() - t0:.1f}s')
-        else:
-            sstate, m = strainer.train_step(sstate, batch,
-                                            jax.random.PRNGKey(step))
-        if step % 250 == 0 or step == shape_steps - 1:
-            srows.append({'step': step,
-                          **{k: float(v) for k, v in m.items()}})
-            if step % 2500 == 0:
-                stamp(f'shape step {step}: g={srows[-1]["g_total"]:.3f}')
-        if step % 2500 == 2499 or step == shape_steps - 1:
-            save_train_state(s_state_path, sstate, srows)
+    if s_start < shape_steps and time_left() > 480:
+        last_saved = [s_start]
+
+        def shape_cb(next_step, st, rws):
+            if next_step - last_saved[0] >= 5000 \
+                    or next_step >= shape_steps:
+                save_train_state(s_state_path, st, srows + rws)
+                last_saved[0] = next_step
+            return time_left() < 360
+
+        s_runner = ChunkRunner(strainer._train_step, make_shape_batch,
+                               batch_seed=2_000_000)
+        sstate, rws, _ = retry_compile(
+            lambda: s_runner.run(sstate, s_start, shape_steps,
+                                 chunk_size=chunk, record_every=250,
+                                 on_chunk=shape_cb))
+        srows += rws
+        save_train_state(s_state_path, sstate, srows)
+    elif s_start < shape_steps:
+        stamp(f'shape: skipped ({time_left():.0f}s left); resumable')
     dt = time.time() - t0
-    s_done = shape_steps - s_start
-    stamp(f'shape: {s_done} steps this run in {dt:.0f}s '
-          f'({s_done / max(dt, 1e-9):.1f} steps/s)')
-    summary['shape'] = {'steps': shape_steps, 'seconds': round(dt, 1),
-                        'steps_this_run': s_done,
-                        'steps_per_sec': round(
-                            s_done / max(dt, 1e-9), 2),
-                        'final': srows[-1]}
+    s_step_now = int(np.asarray(sstate.step))
+    summary['shape'] = add_progress(work, 'shape', s_step_now - s_start,
+                                    dt, s_step_now)
+    if srows:
+        summary['shape']['final'] = srows[-1]
+    stamp(f'shape: {s_step_now - s_start} steps this run in {dt:.0f}s '
+          f'({(s_step_now - s_start) / max(dt, 1e-9):.1f} steps/s)')
     save_checkpoint(s_ckpt, jax.tree_util.tree_map(
-        np.asarray, {'gen': sstate.gen.params}), shape_steps, max_keep=2)
+        np.asarray, {'gen': sstate.gen.params}), s_step_now, max_keep=2)
     with open(os.path.join(ART, 'shape_losses.json'), 'w') as f:
         json.dump(srows, f)
-    plot_curves(srows, ['g_total', 'd_total', 'dz_total',
-                        'g/lambda_hair', 'g/lambda_face', 'g/lambda_kl',
-                        'g/lambda_self_rec'],
-                os.path.join(ART, 'shape_losses.png'),
-                f'shape VAE-GAN soak ({shape_steps} steps, batch '
-                f'{shape_cfg.total_batch_size})')
+    if srows:
+        plot_curves(srows, ['g_total', 'd_total', 'dz_total',
+                            'g/lambda_hair', 'g/lambda_face',
+                            'g/lambda_kl', 'g/lambda_self_rec'],
+                    os.path.join(ART, 'shape_losses.png'),
+                    f'shape VAE-GAN soak (step {s_step_now}, batch '
+                    f'{shape_cfg.total_batch_size}, '
+                    f'free-bits {kl_fb})')
     trained_shape = jax.tree_util.tree_map(np.asarray, sstate.gen.params)
+    del sstate
 
     # ---------------- E: load trained branches + curate directions
     from ctrlhair_tpu.pipeline.backend import Backend
     from ctrlhair_tpu.pipeline.direction_finder import (
-        data_driven_shape_directions, random_orthogonal_direction,
-        save_direction)
+        check_directions_alive, data_driven_shape_directions,
+        random_orthogonal_direction, save_direction)
     from ctrlhair_tpu.utils.image import read_rgb, write_rgb
 
-    editor.params = dict(editor.params, ct_gen=trained_ct_gen,
-                         ct_dis=trained_ct_dis, shape=trained_shape,
-                         rgb_pred=pred_params['rgb'],
-                         curliness_pred=pred_params['curliness'])
+    editor.params = dict(editor.params, ct_gen=jax.tree_util.tree_map(
+        jnp.asarray, trained_ct_gen), ct_dis=jax.tree_util.tree_map(
+        jnp.asarray, trained_ct_dis), shape=jax.tree_util.tree_map(
+        jnp.asarray, trained_shape),
+        rgb_pred=pred_params['rgb'],
+        curliness_pred=pred_params['curliness'])
     editor.load_style_fallback(os.path.join(work, 'mean_style_code',
                                             'median'))
     with open(os.path.join(work, 'hsv_stat_dict_ordered.pkl'), 'rb') as f:
         hsv_table = pickle.load(f)
     be = Backend(blending=True, cfg=editor.cfg, editor=editor,
-                 hsv_table=hsv_table)
+                 hsv_table=hsv_table, trained_root=None)
     src = '/root/reference/imgs'
     names = sorted(f for f in os.listdir(src) if f.endswith('.png'))
     be.set_input_img(read_rgb(os.path.join(src, names[0])))
 
-    # Curation is deterministic (seeded rngs) but ~20 min of device time;
-    # a marker + the shipped pickles let a crashed stage-F run resume
-    # without rescoring (the r4 soak died mid-F once already).
-    dir_done_path = os.path.join(work, 'soak_state', 'directions.json')
-    shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
-    tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
+    dir_done_path = os.path.join(state_dir, 'directions.json')
+    install_root = (os.path.join(REPO, 'model_trained') if SHIP
+                    else os.path.join(work, 'installed'))
+    shape_dir_repo = os.path.join(install_root, 'shape_dir_used')
+    tex_dir_repo = os.path.join(install_root, 'texture_dir_used')
+    shape_dir_stage = os.path.join(work, 'staged', 'shape_dir_used')
+    tex_dir_stage = os.path.join(work, 'staged', 'texture_dir_used')
+    probe_min = float(os.environ.get('SOAK_PROBE_MIN', '0.05'))
+    r2_min = float(os.environ.get('SOAK_R2_MIN', '0.3'))
+    tex_min = float(os.environ.get('SOAK_TEX_MIN', '0.5'))
 
-    def _dir_hash(d):
-        h = hashlib.sha1()
-        if os.path.isdir(d):
-            for name in sorted(os.listdir(d)):
-                with open(os.path.join(d, name), 'rb') as f:
-                    h.update(name.encode() + f.read())
-        return h.hexdigest()
+    # invalidate a stale curation marker when the nets changed this run
+    nets_fresh = (summary['shape']['steps_this_run'] > 0
+                  or summary['ct']['steps_this_run'] > 0
+                  or summary['sean']['steps_this_run'] > 0)
+    if nets_fresh and os.path.exists(dir_done_path):
+        os.remove(dir_done_path)
+        stamp('curation marker invalidated (nets trained this run)')
 
-    shape_hash_before = _dir_hash(shape_dir_out)
-    tex_hash_before = _dir_hash(tex_dir_out)
-    curated_fresh = False
-    if (os.path.exists(dir_done_path) and os.path.isdir(shape_dir_out)
-            and os.path.isdir(tex_dir_out)):
+    if os.path.exists(dir_done_path):
         with open(dir_done_path) as f:
             _dd = json.load(f)
-        summary['shape_dirs'] = _dd['shape_dirs']
-        summary['texture_dir_response'] = _dd['texture_dir_response']
-        if 'shape_dir_regression' in _dd:
-            summary['shape_dir_regression'] = _dd['shape_dir_regression']
+        summary.update({k: _dd[k] for k in (
+            'shape_dirs', 'texture_dir_response', 'shape_dir_regression',
+            'shape_dirs_alive', 'texture_dirs_alive') if k in _dd})
         stamp('directions already curated (marker found); skipping rescore')
     else:
-        curated_fresh = True
-        # shape directions: score candidates by geometric semantics of the
-        # decoded mask sweep (hair area = volume, lowest hair row = length,
-        # forehead coverage = bangs) — a measurable stand-in for the
-        # reference's manual grid curation (ref: script_find_direction.py)
+        # shape directions from DATA: ridge-regress warp-pool latents on
+        # mask geometry (the r4 random-probe method scored ~0 on every
+        # statistic — the decoder's responsive subspace is narrow)
         base_shape = be.cur_latent.shape
         face_code = be.cur_latent.face
 
@@ -949,49 +1200,55 @@ def main():
                 face_code))[0]
             hair = m == HAIR_IDX
             area = hair.mean()
-            rows = np.nonzero(hair.any(axis=1))[0]
-            length = (rows[-1] / m.shape[0]) if rows.size else 0.0
+            rows_nz = np.nonzero(hair.any(axis=1))[0]
+            length = (rows_nz[-1] / m.shape[0]) if rows_nz.size else 0.0
             forehead = hair[int(0.30 * 256):int(0.42 * 256),
                             int(0.35 * 256):int(0.65 * 256)].mean()
-            # signed left/right hair-mass asymmetry (bangs_direction slot)
             half = m.shape[1] // 2
             asym = hair[:, :half].mean() - hair[:, half:].mean()
+            # column order matches SHAPE_SLOTS' own statistics:
+            # volume=area, length=length, bangs=forehead,
+            # bangs_direction=asym
             return np.array([area, length, forehead, asym])
 
-        # Directions come from DATA, not random probing: ridge-regress the
-        # encoded warp-pool latents on mask geometry
-        # (direction_finder.regression_directions).  The r4 soaks' random
-        # orthogonal probes around one latent scored ~0 on EVERY statistic
-        # — the decoder's responsive subspace is narrow and random 16-d
-        # probes miss it; the regression direction is exactly the axis the
-        # statistic varies along across the real training masks.
-        shape_dir_out = os.path.join(REPO, 'model_trained', 'shape_dir_used')
-        shutil.rmtree(shape_dir_out, ignore_errors=True)
+        shutil.rmtree(shape_dir_stage, ignore_errors=True)
         dirs, reg_report = data_driven_shape_directions(
-            editor, editor.params,
-            os.path.join(work, 'shape_training_wrap_pool'), max_masks=200,
-            save_dir=shape_dir_out,
+            editor, editor.params, pool_dir, max_masks=200,
+            save_dir=shape_dir_stage,
             report_path=os.path.join(ART, 'shape_dir_regression.json'))
         summary['shape_dir_regression'] = [
             {k: (round(v, 4) if isinstance(v, float) else v)
              for k, v in r.items()} for r in reg_report]
-        # evidence: decode-probe each SHIPPED direction on the anchor image
-        # (columns: hair area, length, forehead coverage, asymmetry)
         sem_names = ['length', 'volume', 'bangs_direction', 'bangs']
+        stat_names = ['volume', 'length', 'bangs', 'bangs_direction']
         summary['shape_dirs'] = {}
+        probe_deltas = {}
         for slot, name in enumerate(sem_names):
             d = dirs[slot]
             lo = mask_stats(base_shape - 2.0 * d[None])
             hi = mask_stats(base_shape + 2.0 * d[None])
+            delta = hi - lo
             summary['shape_dirs'][name] = [round(float(v), 4)
-                                           for v in (hi - lo)]
-        stamp(f'shape directions regressed from '
-              f'{reg_report[0]["n_masks"]} pool masks; '
-              f'r2={[round(r["r2"], 3) for r in reg_report]}; '
-              f'probe deltas={summary["shape_dirs"]}')
+                                           for v in delta]
+            probe_deltas[name] = {stat_names[i]: float(delta[i])
+                                  for i in range(4)}
+        failures = check_directions_alive(reg_report, probe_deltas,
+                                          r2_min=r2_min,
+                                          probe_min=probe_min)
+        summary['shape_dirs_alive'] = not failures
+        if failures:
+            summary['shape_dir_failures'] = failures
+            stamp('shape directions FAILED the liveliness gate — repo '
+                  'pickles left untouched:\n  ' + '\n  '.join(failures))
+        else:
+            for i, d in enumerate(dirs):
+                save_direction(shape_dir_repo, i, d)
+            stamp(f'shape directions ALIVE and installed; '
+                  f'r2={[round(r["r2"], 3) for r in reg_report]}; '
+                  f'probe deltas={summary["shape_dirs"]}')
 
-        # texture directions: 2 orthogonal candidates maximising rendered hair
-        # pixel variance response
+        # texture directions: orthogonal candidates ranked by rendered
+        # hair-pixel response through the TRAINED SEAN
         rng2 = np.random.default_rng(11)
         base = be.cur_latent
 
@@ -1003,121 +1260,160 @@ def main():
                 outs.append(img)
             return float(np.abs(outs[1] - outs[0]).mean())
 
-        pool = []
+        cand_pool = []
         for _ in range(8):
-            # append as we go: the pool must be mutually orthonormal (the
-            # original comprehension passed a never-updated list, so the two
-            # shipped texture dirs could overlap)
-            pool.append(random_orthogonal_direction(8, pool, rng2))
-        responses = [tex_response(d) for d in pool]
+            cand_pool.append(random_orthogonal_direction(8, cand_pool,
+                                                         rng2))
+        responses = [tex_response(d) for d in cand_pool]
         order = np.argsort(-np.asarray(responses))
-        tex_dir_out = os.path.join(REPO, 'model_trained', 'texture_dir_used')
-        shutil.rmtree(tex_dir_out, ignore_errors=True)
+        shutil.rmtree(tex_dir_stage, ignore_errors=True)
         for i, idx in enumerate(order[:2]):
-            save_direction(tex_dir_out, i, pool[idx].astype(np.float32))
+            save_direction(tex_dir_stage, i,
+                           cand_pool[idx].astype(np.float32))
         summary['texture_dir_response'] = [round(responses[i], 3)
                                            for i in order[:2]]
-        stamp(f'texture directions curated (responses '
-              f'{[round(responses[i], 3) for i in order[:2]]})')
+        tex_alive = all(responses[i] >= tex_min for i in order[:2])
+        summary['texture_dirs_alive'] = bool(tex_alive)
+        if tex_alive:
+            for i, idx in enumerate(order[:2]):
+                save_direction(tex_dir_repo, i,
+                               cand_pool[idx].astype(np.float32))
+            stamp(f'texture directions ALIVE and installed (responses '
+                  f'{summary["texture_dir_response"]})')
+        else:
+            stamp(f'texture directions below response floor {tex_min} '
+                  f'({summary["texture_dir_response"]}) — repo pickles '
+                  'left untouched')
         with open(dir_done_path, 'w') as f:
-            json.dump({'shape_dirs': summary['shape_dirs'],
-                       'shape_dir_regression':
-                           summary['shape_dir_regression'],
-                       'texture_dir_response':
-                           summary['texture_dir_response']}, f)
+            json.dump({k: summary[k] for k in (
+                'shape_dirs', 'shape_dir_regression', 'shape_dirs_alive',
+                'texture_dir_response', 'texture_dirs_alive') if k in
+                summary}, f)
 
-    # ---------------- F: validation canvases + summary
-    # every artifact below is skip-if-exists so a crashed F resumes at the
-    # first missing output instead of re-rendering ~40 min of grids.
-    # BUT: skip-if-exists must not serve STALE evidence — if curation just
-    # ran fresh (new nets / new pickles), the committed canvases+grids were
-    # rendered from the previous run's nets, so delete them first (this is
-    # what silently kept soak4's grids in-tree after the soak5 rescore)
+    # ---------------- F: validation canvases + evidence grids.
+    # Staleness by INPUT FINGERPRINT (ADVICE r4): each artifact records a
+    # hash of the net states + shipped pickles it was rendered from; it is
+    # re-rendered whenever the stored fingerprint mismatches — including
+    # across crash/resume boundaries the old changed-within-this-process
+    # logic missed.
     from ctrlhair_tpu.training import validation as V
-    ct_canvas = os.path.join(ART, 'ct_sweep_canvas.png')
-    shape_canvas = os.path.join(ART, 'shape_sweep_canvas.png')
-    # selective: only outputs whose INPUTS changed this invocation are
-    # stale — freshly-trained nets invalidate their canvases, changed
-    # pickles invalidate their grids (a resumed run that only re-curates
-    # shape must not pay ~20 min re-rendering identical texture grids)
-    ct_fresh = summary.get('ct', {}).get('steps_this_run', 0) > 0
-    shape_fresh = summary.get('shape', {}).get('steps_this_run', 0) > 0
-    shape_dirs_changed = _dir_hash(shape_dir_out) != shape_hash_before
-    tex_dirs_changed = _dir_hash(tex_dir_out) != tex_hash_before
-    stale = []
-    if ct_fresh:
-        stale.append(ct_canvas)
-    if shape_fresh:
-        stale.append(shape_canvas)
-    if ct_fresh or tex_dirs_changed:
-        stale += [os.path.join(ART, 'direction_grids',
-                               f'texture_dir{i}.png') for i in range(2)]
-    if ct_fresh or shape_fresh or shape_dirs_changed:
-        stale += [os.path.join(ART, 'direction_grids',
-                               f'shape_dir{i}.png') for i in range(4)]
-    removed = 0
-    for p in stale:
-        if os.path.exists(p):
-            os.remove(p)
-            removed += 1
-    if removed:
-        stamp(f'stale render outputs removed: {removed} '
-              f'(ct_fresh={ct_fresh} shape_fresh={shape_fresh} '
-              f'shape_dirs_changed={shape_dirs_changed} '
-              f'tex_dirs_changed={tex_dirs_changed})')
-    if not (os.path.exists(ct_canvas) and os.path.exists(shape_canvas)):
-        res = editor.analyze_image(np.asarray(be.input_img))
-        lat = res['latent']
-        base_data = {'noise': lat.texture,
-                     'noise_curliness': lat.curliness,
-                     'rgb_mean': lat.rgb_mean(), 'pca_std': lat.pca_std}
-        if not os.path.exists(ct_canvas):
-            V.ct_latent_sweep_canvas(
-                editor, editor.params['ct_gen'], res['sean_codes'],
-                res['label'], base_data, out_path=ct_canvas,
-                values=(-2.0, -1.0, 0.0, 1.0, 2.0))
-        if not os.path.exists(shape_canvas):
-            V.shape_sweep_canvas(
-                editor, editor.params['shape'], lat.face, lat.shape,
-                out_path=shape_canvas,
-                values=(-2.0, 0.0, 2.0), dims=(0, 1, 2, 3))
 
-    # slider grids for the SHIPPED directions (evidence for curation)
-    from ctrlhair_tpu.pipeline.direction_finder import render_candidate_grids
-    # re-create the backend so it picks up the shipped pickles
+    def render_fp():
+        h = hashlib.sha1()
+        for p in (state_path, s_state_path, sean_state_path):
+            if os.path.exists(p):
+                st = os.stat(p)
+                h.update(f'{p}:{st.st_size}:{st.st_mtime_ns};'.encode())
+        h.update(_dir_hash(shape_dir_repo).encode())
+        h.update(_dir_hash(tex_dir_repo).encode())
+        return h.hexdigest()
+
+    FP = render_fp()
+
+    def ensure_rendered(path, render_fn):
+        side = path + '.fp'
+        if (os.path.exists(path) and os.path.exists(side)
+                and open(side).read() == FP):
+            return False
+        render_fn()
+        with open(side, 'w') as f:
+            f.write(FP)
+        stamp(f'rendered {os.path.relpath(path, REPO)}')
+        return True
+
+    res = editor.analyze_image(np.asarray(be.input_img))
+    lat = res['latent']
+    base_data = {'noise': lat.texture,
+                 'noise_curliness': lat.curliness,
+                 'rgb_mean': lat.rgb_mean(), 'pca_std': lat.pca_std}
+    ensure_rendered(
+        os.path.join(ART, 'ct_sweep_canvas.png'),
+        lambda: V.ct_latent_sweep_canvas(
+            editor, editor.params['ct_gen'], res['sean_codes'],
+            res['label'], base_data,
+            out_path=os.path.join(ART, 'ct_sweep_canvas.png'),
+            values=(-2.0, -1.0, 0.0, 1.0, 2.0)))
+    ensure_rendered(
+        os.path.join(ART, 'shape_sweep_canvas.png'),
+        lambda: V.shape_sweep_canvas(
+            editor, editor.params['shape'], lat.face, lat.shape,
+            out_path=os.path.join(ART, 'shape_sweep_canvas.png'),
+            values=(-2.0, 0.0, 2.0), dims=(0, 1, 2, 3)))
+
+    # slider grids for the SHIPPED directions (evidence for curation) —
+    # a fresh Backend picks up the repo pickles
     be2 = Backend(blending=True, cfg=editor.cfg, editor=editor,
-                  hsv_table=hsv_table)
-    be2.set_input_img(read_rgb(os.path.join(src, names[0])))
+                  hsv_table=hsv_table, trained_root=None)
     grid_dir = os.path.join(ART, 'direction_grids')
     os.makedirs(grid_dir, exist_ok=True)
+
+    def render_grid(out_png, change, i):
+        def _render():
+            imgs = []
+            for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
+                be2.set_input_img(read_rgb(os.path.join(src, names[0])))
+                getattr(be2, change)(v, i)
+                imgs.append(be2.output())
+            write_rgb(out_png, np.concatenate(imgs, axis=1))
+        return _render
+
     for i in range(4):
         out_png = os.path.join(grid_dir, f'shape_dir{i}.png')
-        if os.path.exists(out_png):
-            continue
-        imgs = []
-        for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
-            be2.set_input_img(read_rgb(os.path.join(src, names[0])))
-            be2.change_shape(v, i)
-            imgs.append(be2.output())
-        write_rgb(out_png, np.concatenate(imgs, axis=1))
-        stamp(f'grid shape_dir{i} written')
+        ensure_rendered(out_png, render_grid(out_png, 'change_shape', i))
     for i in range(2):
         out_png = os.path.join(grid_dir, f'texture_dir{i}.png')
-        if os.path.exists(out_png):
-            continue
-        imgs = []
-        for v in (-2.0, -1.0, 0.0, 1.0, 2.0):
-            be2.set_input_img(read_rgb(os.path.join(src, names[0])))
-            be2.change_texture(v, i)
-            imgs.append(be2.output())
-        write_rgb(out_png, np.concatenate(imgs, axis=1))
-        stamp(f'grid texture_dir{i} written')
+        ensure_rendered(out_png, render_grid(out_png, 'change_texture', i))
 
-    summary['total_seconds'] = round(time.time() - t00, 1)
-    with open(os.path.join(ART, 'summary.json'), 'w') as f:
+    # ---------------- G: ship deployment checkpoints into the repo tree.
+    # Small families are committed; sean/shape are written but gitignored
+    # (534/482 MB bf16 — the same reason the reference's model_trained/ is
+    # distributed out-of-band).  Backend(trained_root='auto') then boots
+    # every family that exists on disk.
+    ship_root = install_root
+
+    def ship(family, tree, step, cast_bf16=False):
+        tree = jax.tree_util.tree_map(np.asarray, tree)
+        if cast_bf16:
+            import ml_dtypes
+            tree = jax.tree_util.tree_map(
+                lambda x: x.astype(ml_dtypes.bfloat16)
+                if np.issubdtype(x.dtype, np.floating) else x, tree)
+        save_checkpoint(os.path.join(ship_root, family, 'checkpoints'),
+                        tree, step, max_keep=1)
+        stamp(f'shipped {family} (step {step}'
+              f'{", bf16" if cast_bf16 else ""})')
+
+    ship('color_texture', {'gen': trained_ct_gen, 'dis': trained_ct_dis},
+         ct_step_now)
+    ship('shape', {'gen': trained_shape}, s_step_now, cast_bf16=True)
+    ship('bisenet', bn_variables, bn_step_now)
+    ship('color_encoder', pred_params['rgb'], 2000)
+    ship('curliness_classifier', pred_params['curliness'], 2000)
+    if sean_step_now > 0:
+        ship('sean', jax.tree_util.tree_map(np.asarray,
+                                            editor.params['sean']),
+             sean_step_now, cast_bf16=True)
+    # dataset-stats contracts the Backend needs at boot
+    shutil.copy(os.path.join(work, 'hsv_stat_dict_ordered.pkl'),
+                os.path.join(ship_root, 'hsv_stat_dict_ordered.pkl'))
+    median_src = os.path.join(work, 'mean_style_code', 'median')
+    median_dst = os.path.join(ship_root, 'mean_style_code', 'median')
+    if os.path.isdir(median_src):
+        shutil.rmtree(median_dst, ignore_errors=True)
+        shutil.copytree(median_src, median_dst)
+    stamp('deployment tables shipped (hsv CDF + median style codes)')
+
+    summary['total_seconds_this_run'] = round(time.time() - t00, 1)
+    tmp = os.path.join(ART, 'summary.json.tmp')
+    with open(tmp, 'w') as f:
         json.dump(summary, f, indent=2)
+    os.replace(tmp, os.path.join(ART, 'summary.json'))
     stamp(f'SOAK DONE -> {ART}')
-    print('SOAK PASS', flush=True)
+    ok = summary.get('shape_dirs_alive', False)
+    print('SOAK PASS' if ok else
+          'SOAK FAIL: shape directions did not pass the liveliness gate',
+          flush=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == '__main__':

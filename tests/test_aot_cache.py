@@ -80,3 +80,48 @@ def test_warmjit_without_artifacts_is_plain_jit(warm_dir):
     np.testing.assert_allclose(np.asarray(wj(params, x)),
                                np.asarray(_fn(params, x)))
     assert wj._by_sig == {}
+
+
+@pytest.mark.quick
+def test_fingerprint_ignores_non_trace_modules(tmp_path):
+    """VERDICT r4 weak #2: a commit to trainer/data/UI/curation modules
+    must NOT invalidate the warm executables — only trace-affecting
+    sources (models/ops/pipeline/config/utils) feed the fingerprint."""
+    pkg = tmp_path / 'pkg'
+    for rel, body in (
+            ('models/sean.py', 'A = 1\n'),
+            ('ops/warp.py', 'B = 2\n'),
+            ('pipeline/editor.py', 'C = 3\n'),
+            ('pipeline/direction_finder.py', 'D = 4\n'),
+            ('training/losses.py', 'E = 5\n'),
+            ('data/prep.py', 'F = 6\n'),
+            ('convert/torch_import.py', 'G = 7\n'),
+            ('ui/web.py', 'H = 8\n')):
+        p = pkg / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(body)
+    fp0 = aot_cache._fingerprint_of(str(pkg))
+
+    # churn in every excluded module: fingerprint unchanged
+    for rel in ('pipeline/direction_finder.py', 'training/losses.py',
+                'data/prep.py', 'convert/torch_import.py', 'ui/web.py'):
+        (pkg / rel).write_text('CHANGED = True\n')
+        assert aot_cache._fingerprint_of(str(pkg)) == fp0, rel
+
+    # a trace-affecting edit invalidates
+    (pkg / 'ops/warp.py').write_text('B = 99\n')
+    assert aot_cache._fingerprint_of(str(pkg)) != fp0
+
+
+@pytest.mark.quick
+def test_repo_fingerprint_excludes_trainer_modules():
+    """The REAL package's fingerprint must not cover training/ etc. —
+    guard against the exclusion list drifting from the layout."""
+    import os
+
+    import ctrlhair_tpu
+    pkg = os.path.dirname(os.path.abspath(ctrlhair_tpu.__file__))
+    for d in aot_cache._FP_EXCLUDE_DIRS:
+        assert os.path.isdir(os.path.join(pkg, d)), d
+    for f in aot_cache._FP_EXCLUDE_FILES:
+        assert os.path.isfile(os.path.join(pkg, f)), f
