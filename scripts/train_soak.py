@@ -329,10 +329,12 @@ def load_train_state(path, target):
     return state, rows
 
 
-def retry_compile(fn, *args, attempts=4, wait=90):
+def retry_compile(fn, *args, attempts=8, wait=90):
     """First-call (compile) guard: the relay's remote-compile service
-    sporadically drops long compiles with UNAVAILABLE/Broken pipe; the
-    compile is stateless, so retrying is safe."""
+    sporadically drops long compiles with UNAVAILABLE/Broken pipe, and a
+    crashed TPU worker can take several minutes to restart (r5: a worker
+    crash outlived a 4x90s window and killed an otherwise-healthy soak);
+    the compile is stateless, so retrying is safe and patience is cheap."""
     for i in range(attempts - 1):
         try:
             return fn(*args)
