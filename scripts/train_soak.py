@@ -351,6 +351,89 @@ def retry_compile(fn, *args, attempts=8, wait=90):
     return fn(*args)
 
 
+def train_family(family, state_path, runner, state, start, stop, *,
+                 chunk_size, record_every, rows, save_every, floor,
+                 per_step, extra_args=()):
+    """Train steps [start, stop) for one model family: chunked lax.scan
+    dispatch with a per-step fallback that is crash-loop-proof across
+    process restarts.
+
+    The bisenet chunk-of-steps compile reproducibly CRASHES this
+    environment's TPU worker (observed twice in r5); a worker crash
+    invalidates every device buffer in the process, so even the in-process
+    fallback may die — the `.chunk_attempt` marker survives the process,
+    and the relaunched soak (scripts/soak_supervisor.sh) goes straight to
+    the proven per-step program for that family instead of re-crashing
+    the worker forever.
+
+    per_step(state, step) -> (state, metrics): one host-loop optimizer
+    step with the same RNG stream as the chunked path.
+    Returns (state, rows, finite_trips).
+    """
+    import jax
+    import jax.numpy as jnp
+    finite_trips = 0
+    marker = state_path + '.chunk_attempt'
+    last_saved = [start]
+
+    def cb(next_step, st, rws):
+        if next_step - last_saved[0] >= save_every or next_step >= stop:
+            save_train_state(state_path, st, rows + rws)
+            last_saved[0] = next_step
+        return time_left() < floor
+
+    if not os.path.exists(marker):
+        with open(marker, 'w') as f:
+            f.write(str(time.time()))
+        try:
+            state, rws, finite_trips = retry_compile(
+                lambda: runner.run(state, start, stop,
+                                   chunk_size=chunk_size,
+                                   record_every=record_every,
+                                   extra_args=extra_args, on_chunk=cb),
+                attempts=2, wait=60)
+            rows = rows + rws
+            os.remove(marker)
+            save_train_state(state_path, state, rows)
+            return state, rows, finite_trips
+        except Exception as e:   # noqa: BLE001
+            stamp(f'{family}: chunked path failed ({str(e)[:140]}); '
+                  'falling back to the per-step program')
+    else:
+        stamp(f'{family}: a previous process died during the chunk '
+              'compile (marker present) — using the per-step program')
+
+    # the failed chunked attempt may have consumed (donated) the caller's
+    # device state mid-run: resume from the last on-disk save
+    res = load_train_state(state_path, state)
+    if res is not None:
+        state, rows = res
+    step0 = max(int(np.asarray(state.step)), start)
+    rows = [r for r in rows if r['step'] < step0]
+    fin_dev = jnp.zeros((), jnp.int32)
+    n_fin = 0
+    for step in range(step0, stop):
+        if step == step0:
+            state, m = retry_compile(per_step, state, step)
+        else:
+            state, m = per_step(state, step)
+        if 'finite' in m:
+            fin_dev = fin_dev + jnp.asarray(m['finite'], jnp.int32)
+            n_fin += 1
+        if step % record_every == 0 or step == stop - 1:
+            rows.append({'step': step,
+                         **{k: float(v) for k, v in m.items()}})
+        if (step + 1) % save_every == 0 or step == stop - 1:
+            save_train_state(state_path, state, rows)
+        if time_left() < floor:
+            stamp(f'{family}: deadline pressure — stopping early '
+                  '(resumable)')
+            save_train_state(state_path, state, rows)
+            break
+    finite_trips += n_fin - int(np.asarray(fin_dev))
+    return state, rows, finite_trips
+
+
 # ------------------------------------------------- cumulative bookkeeping
 
 def add_progress(work, family, steps_this_run, seconds_this_run,
@@ -676,22 +759,19 @@ def main():
     t0 = time.time()
     bn_done = 0
     if bn_start < bn_steps and time_left() > 600:
-        last_saved = [bn_start]
-
-        def bn_cb(next_step, st, rws):
-            if next_step - last_saved[0] >= 1000 or next_step >= bn_steps:
-                save_train_state(bn_state_path, st, bn_rows + rws)
-                last_saved[0] = next_step
-            return time_left() < 420
-
         bn_runner = ChunkRunner(bn_trainer._train_step, make_bn_batch,
                                 batch_seed=3_000_000)
-        bn_state, rws, _ = retry_compile(
-            lambda: bn_runner.run(bn_state, bn_start, bn_steps,
-                                  chunk_size=min(chunk, 250),
-                                  record_every=100, on_chunk=bn_cb))
-        bn_rows += rws
-        save_train_state(bn_state_path, bn_state, bn_rows)
+
+        def bn_per_step(st, step):
+            return bn_trainer.train_step(
+                st, make_bn_batch(jax.random.PRNGKey(3_000_000 + step)),
+                jax.random.PRNGKey(step))
+
+        bn_state, bn_rows, _ = train_family(
+            'bisenet', bn_state_path, bn_runner, bn_state, bn_start,
+            bn_steps, chunk_size=min(chunk, 250), record_every=100,
+            rows=bn_rows, save_every=1000, floor=420,
+            per_step=bn_per_step)
         bn_done = int(np.asarray(bn_state.step)) - bn_start
     elif bn_start < bn_steps:
         stamp(f'bisenet: skipped ({time_left():.0f}s left); resumable')
@@ -856,10 +936,18 @@ def main():
 
         runner = ChunkRunner(tr._train_step, make_pred_batch,
                              batch_seed=5_000_000)
-        state, rows_p, _ = retry_compile(
-            lambda: runner.run(state, 0, pcfg.total_step,
-                               chunk_size=min(chunk, 500),
-                               record_every=200))
+
+        def pred_per_step(st, step, _mb=make_pred_batch, _tr=tr):
+            return _tr.train_step(
+                st, _mb(jax.random.PRNGKey(5_000_000 + step)),
+                jax.random.PRNGKey(step))
+
+        state, rows_p, _ = train_family(
+            f'predictor[{which}]',
+            os.path.join(state_dir, f'pred_{which}.msgpack'),
+            runner, state, 0, pcfg.total_step,
+            chunk_size=min(chunk, 500), record_every=200, rows=[],
+            save_every=1000, floor=300, per_step=pred_per_step)
         variables = dict(state.model.params)
         if jax.tree_util.tree_leaves(state.stats):
             variables['batch_stats'] = state.stats
@@ -943,25 +1031,22 @@ def main():
     t0 = time.time()
     ct_done0 = start_step
     if start_step < rec_on_step and time_left() > 600:
-        last_saved = [start_step]
-
-        def ct_cb(next_step, st, rws):
-            if next_step - last_saved[0] >= 2500 \
-                    or next_step >= rec_on_step:
-                save_train_state(state_path, st, rows + rws)
-                last_saved[0] = next_step
-            return time_left() < 420
-
         ct_runner = ChunkRunner(ct_chunk_step, make_ct_batch,
                                 batch_seed=1_000_000)
-        state, rws, trips = retry_compile(
-            lambda: ct_runner.run(state, start_step, rec_on_step,
-                                  chunk_size=chunk, record_every=250,
-                                  extra_args=(frozen_preds,),
-                                  on_chunk=ct_cb))
-        rows += rws
+
+        def ct_per_step(st, step):
+            # host_step=step keeps the rec program out of phase 1 (the
+            # schedule weight is 0.0 below rec_on_step)
+            return trainer.train_step(
+                st, make_ct_batch(jax.random.PRNGKey(1_000_000 + step)),
+                frozen_preds, jax.random.PRNGKey(step), step)
+
+        state, rows, trips = train_family(
+            'ct', state_path, ct_runner, state, start_step, rec_on_step,
+            chunk_size=chunk, record_every=250, rows=rows,
+            save_every=2500, floor=420, per_step=ct_per_step,
+            extra_args=(frozen_preds,))
         finite_trips += trips
-        save_train_state(state_path, state, rows)
     cur = int(np.asarray(state.step))
     # rec_img tail: per-step split programs (fused-with-scan would be the
     # compile size class the relay drops; the split halves are warm-seeded)
@@ -1098,23 +1183,18 @@ def main():
         stamp(f'shape: resumed full train state at step {s_start}')
     t0 = time.time()
     if s_start < shape_steps and time_left() > 480:
-        last_saved = [s_start]
-
-        def shape_cb(next_step, st, rws):
-            if next_step - last_saved[0] >= 5000 \
-                    or next_step >= shape_steps:
-                save_train_state(s_state_path, st, srows + rws)
-                last_saved[0] = next_step
-            return time_left() < 360
-
         s_runner = ChunkRunner(strainer._train_step, make_shape_batch,
                                batch_seed=2_000_000)
-        sstate, rws, _ = retry_compile(
-            lambda: s_runner.run(sstate, s_start, shape_steps,
-                                 chunk_size=chunk, record_every=250,
-                                 on_chunk=shape_cb))
-        srows += rws
-        save_train_state(s_state_path, sstate, srows)
+
+        def shape_per_step(st, step):
+            return strainer.train_step(
+                st, make_shape_batch(jax.random.PRNGKey(2_000_000 + step)),
+                jax.random.PRNGKey(step))
+
+        sstate, srows, _ = train_family(
+            'shape', s_state_path, s_runner, sstate, s_start, shape_steps,
+            chunk_size=chunk, record_every=250, rows=srows,
+            save_every=5000, floor=360, per_step=shape_per_step)
     elif s_start < shape_steps:
         stamp(f'shape: skipped ({time_left():.0f}s left); resumable')
     dt = time.time() - t0
@@ -1415,7 +1495,10 @@ def main():
     print('SOAK PASS' if ok else
           'SOAK FAIL: shape directions did not pass the liveliness gate',
           flush=True)
-    sys.exit(0 if ok else 1)
+    # exit 2 = ran to completion but the gate failed: the supervisor must
+    # NOT relaunch (a rerun would deterministically fail again); any other
+    # nonzero rc is a crash worth relaunching into a resume
+    sys.exit(0 if ok else 2)
 
 
 if __name__ == '__main__':
