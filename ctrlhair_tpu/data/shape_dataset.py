@@ -123,6 +123,14 @@ def generate_warp_pool(catalog: DataCatalog, out_dir: str, count: int,
     def work(chunk):
         for i, (hair_key, face_key) in chunk:
             try:
+                name = f'{hair_key}___{face_key}___{i:02d}.png'
+                if os.path.exists(os.path.join(out_dir, name)):
+                    # the pair schedule is deterministic in (seed, catalog),
+                    # so an existing output IS this item: a crashed/resumed
+                    # soak must not redo 240 ARAP warps per relaunch
+                    with lock:
+                        written[0] += 1
+                    continue
                 hair = _load_label(catalog.label_path(hair_key))
                 face = _load_label(catalog.label_path(face_key))
                 size = 512
