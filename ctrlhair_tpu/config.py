@@ -205,6 +205,16 @@ class ShapeConfig:
     # plain KL; > 0 stops the hair latent collapsing to the prior on short
     # runs (losses.kl_loss_free_bits).  Not a reference option.
     kl_free_bits: float = 0.0
+    # Geometry supervision (not a reference option): weight on an MSE
+    # between a linear head over the hair latent's posterior MEAN and
+    # in-graph geometry statistics of the input hair mask (area, length,
+    # top, forehead coverage, asymmetry, width).  The reference's 380k-step
+    # schedule leaves the latent informative by brute force; short soaks
+    # collapse (r4/r5: direction regression R^2 ~ 1e-4) — this term makes
+    # the latent linearly encode exactly the statistics the shipped slider
+    # directions are regressed on (pipeline/direction_finder.py), at the
+    # cost of one [hair_dim x 6] head that lives only in the train state.
+    lambda_geo: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

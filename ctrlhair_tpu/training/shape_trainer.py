@@ -35,6 +35,45 @@ def disturb_real(mask: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
     return cur / jnp.sum(cur, axis=-1, keepdims=True)
 
 
+N_GEO_STATS = 7
+
+
+def geo_stats(hair: jnp.ndarray) -> jnp.ndarray:
+    """[B,S,S,1] soft hair mask -> [B, N_GEO_STATS] geometry statistics,
+    all O(1) fractions, computed in-graph (static shapes, reductions only —
+    no host round trip).  Columns: area, lowest-hair-row (length), first-
+    hair-row (top), forehead-band coverage (bangs), left/right mass
+    asymmetry, column extent (width), band-normalised left/right asymmetry
+    (bangs_direction).  Targets for the lambda_geo head; mirrors the
+    host-side statistics direction curation regresses on
+    (pipeline/direction_finder.py::shape_metrics)."""
+    h = hair[..., 0].astype(jnp.float32)            # [B,S,S]
+    s = h.shape[1]
+    present = jnp.float32(1.0) * (h > 0.5)
+    row_any = jnp.max(present, axis=2)              # [B,S]
+    col_any = jnp.max(present, axis=1)              # [B,S]
+    idx = jnp.arange(s, dtype=jnp.float32) / s
+    rev = jnp.arange(s - 1, -1, -1, dtype=jnp.float32) / s
+    area = jnp.mean(h, axis=(1, 2))
+    length = jnp.max(row_any * idx[None], axis=1)
+    # first hair row r == (s-1)/s - max over the descending ramp (s-1-r)/s;
+    # degenerates to (s-1)/s when no hair at all
+    top = (s - 1.0) / s - jnp.max(row_any * rev[None], axis=1)
+    fore = h[:, int(0.30 * s):int(0.42 * s), int(0.35 * s):int(0.65 * s)]
+    bangs = jnp.mean(fore, axis=(1, 2))
+    half = s // 2
+    asym = jnp.mean(h[:, :, :half], axis=(1, 2)) - \
+        jnp.mean(h[:, :, half:], axis=(1, 2))
+    width = jnp.max(col_any * idx[None], axis=1) - \
+        ((s - 1.0) / s - jnp.max(col_any * rev[None], axis=1))
+    fhalf = fore.shape[2] // 2
+    fl = jnp.sum(fore[:, :, :fhalf], axis=(1, 2))
+    fr = jnp.sum(fore[:, :, fhalf:], axis=(1, 2))
+    band_asym = (fl - fr) / (fl + fr + 1e-3)
+    return jnp.stack([area, length, top, bangs, asym, width, band_asym],
+                     axis=1)
+
+
 class ShapeTrainer:
     def __init__(self, cfg: ShapeConfig):
         self.cfg = cfg
@@ -54,9 +93,19 @@ class ShapeTrainer:
         hair = jnp.zeros((2, s, s, 1))
         face = jnp.zeros((2, s, s, 18))
         mask = jnp.zeros((2, s, s, 19))
+        gen_params = self.gen.init(k[0], hair, face)
+        if cfg.lambda_geo > 0:
+            # the geometry head rides inside the generator's param tree
+            # (flax apply ignores the extra collection key), so optimizer,
+            # checkpointing, and sharding all cover it with no state-
+            # structure change; inference applies never touch it
+            gen_params = {'params': dict(
+                gen_params['params'],
+                geo_head={'kernel': jnp.zeros((cfg.hair_dim, N_GEO_STATS)),
+                          'bias': jnp.zeros((N_GEO_STATS,))})}
         return GANTrainState(
             step=jnp.zeros((), jnp.int32),
-            gen=ModelOpt.create(self.gen.init(k[0], hair, face), self.tx_g),
+            gen=ModelOpt.create(gen_params, self.tx_g),
             dis=ModelOpt.create(self.dis.init(k[1], mask), self.tx_d),
             dis_noise=ModelOpt.create(
                 self.dis_noise.init(k[2], jnp.zeros((2, cfg.hair_dim))),
@@ -166,6 +215,12 @@ class ShapeTrainer:
                                     cfg.kl_free_bits)
                 if cfg.kl_free_bits > 0
                 else L.kl_loss(f['hair_mean'], f['hair_std']))
+            if cfg.lambda_geo > 0:
+                head = params_g['params']['geo_head']
+                pred = f['hair_mean'] @ head['kernel'] + head['bias']
+                target_stats = jax.lax.stop_gradient(
+                    geo_stats(f['ae_in_hair']))
+                lg['lambda_geo'] = jnp.mean((pred - target_stats) ** 2)
             if cfg.lambda_moment_1 > 0:   # ref: solver.py:136-139
                 lg['lambda_moment_1'] = jnp.mean(
                     jnp.mean(f['hair_code'], axis=0) ** 2)

@@ -1116,8 +1116,17 @@ def main():
     stamp(f'warp pool: {n_pool} entries')
 
     kl_fb = float(os.environ.get('SOAK_KL_FREE_BITS', '0.25'))
+    # Anti-collapse pair (r5: free-bits alone still left R^2 ~ 0 at 10k
+    # steps): lambda_geo forces the posterior mean to linearly encode the
+    # slider statistics; lambda_info (a reference-expressible option,
+    # shape_branch/solver.py:143-144) forces the DECODER to respond to the
+    # hair code, which is what the probe-delta gate measures.
+    lam_geo = float(os.environ.get('SOAK_LAMBDA_GEO', '30.0'))
+    lam_info = float(os.environ.get('SOAK_LAMBDA_INFO', '1.0'))
     shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps,
-                                    kl_free_bits=kl_fb)
+                                    kl_free_bits=kl_fb,
+                                    lambda_geo=lam_geo,
+                                    lambda_info=lam_info)
     sdataset = ShapeDataset(shape_cfg, work, catalog=catalog,
                             datasets=datasets)
     strainer = ShapeTrainer(shape_cfg)
@@ -1218,6 +1227,13 @@ def main():
                     f'{shape_cfg.total_batch_size}, '
                     f'free-bits {kl_fb})')
     trained_shape = jax.tree_util.tree_map(np.asarray, sstate.gen.params)
+    # the lambda_geo head is a training-only artifact: strip it so the
+    # shipped checkpoint restores into the inference generator's structure
+    # (flax from_bytes is strict about extra keys)
+    if 'geo_head' in trained_shape.get('params', {}):
+        trained_shape = {'params': {k: v for k, v in
+                                    trained_shape['params'].items()
+                                    if k != 'geo_head'}}
     del sstate
 
     # ---------------- E: load trained branches + curate directions
