@@ -1123,10 +1123,17 @@ def main():
     # hair code, which is what the probe-delta gate measures.
     lam_geo = float(os.environ.get('SOAK_LAMBDA_GEO', '30.0'))
     lam_info = float(os.environ.get('SOAK_LAMBDA_INFO', '1.0'))
+    # lambda_self_rec is the decode-from-MEAN pathway (no VAE noise): at
+    # the reference weight 5 vs the 100-weight noisy-sampled recon, a
+    # short-horizon decoder learns to ignore the hair code entirely
+    # (r5 swap test: decode(z_A|f) == decode(z_B|f) bit-for-bit in area).
+    # Raising it makes reading the code the cheapest way down.
+    lam_self = float(os.environ.get('SOAK_LAMBDA_SELF_REC', '5.0'))
     shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps,
                                     kl_free_bits=kl_fb,
                                     lambda_geo=lam_geo,
-                                    lambda_info=lam_info)
+                                    lambda_info=lam_info,
+                                    lambda_self_rec=lam_self)
     sdataset = ShapeDataset(shape_cfg, work, catalog=catalog,
                             datasets=datasets)
     strainer = ShapeTrainer(shape_cfg)
