@@ -1129,11 +1129,22 @@ def main():
     # (r5 swap test: decode(z_A|f) == decode(z_B|f) bit-for-bit in area).
     # Raising it makes reading the code the cheapest way down.
     lam_self = float(os.environ.get('SOAK_LAMBDA_SELF_REC', '5.0'))
+    # Moment matching on the AE hair code (reference options, solver.py:
+    # 136-141): with E[z^2] pulled toward 0.973 while recon prefers
+    # signal-in-mean over noise-in-std, second moment reallocates from the
+    # posterior std to the mean — lifting the code to the amplitude range
+    # where the decoder demonstrably responds (the lambda_info branch
+    # recovers prior-scale codes, residual 0.74 at 15k, while data-scale
+    # means ~0.3 produce zero output change).
+    lam_m1 = float(os.environ.get('SOAK_LAMBDA_MOMENT_1', '0.0'))
+    lam_m2 = float(os.environ.get('SOAK_LAMBDA_MOMENT_2', '0.0'))
     shape_cfg = dataclasses.replace(ShapeConfig(), total_step=shape_steps,
                                     kl_free_bits=kl_fb,
                                     lambda_geo=lam_geo,
                                     lambda_info=lam_info,
-                                    lambda_self_rec=lam_self)
+                                    lambda_self_rec=lam_self,
+                                    lambda_moment_1=lam_m1,
+                                    lambda_moment_2=lam_m2)
     sdataset = ShapeDataset(shape_cfg, work, catalog=catalog,
                             datasets=datasets)
     strainer = ShapeTrainer(shape_cfg)
