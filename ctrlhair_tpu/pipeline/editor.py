@@ -166,12 +166,25 @@ class HairEditorTPU:
         return params
 
     def load_style_fallback(self, folder: str) -> None:
-        """Load per-class median ACE codes from <folder>/<class>/ACE.npy."""
+        """Load per-class median ACE codes from <folder>/<class>/ACE.npy.
+
+        Codes whose dimension does not match this config's style_dim are
+        skipped with a warning instead of failing init — the shipped
+        deployment tables are full-size, and a reduced-config editor (tests,
+        experiments) pointed at the same trained root must still construct."""
         codes = np.zeros((NUM_CLASSES, self.cfg.sean.style_dim), np.float32)
         for i in range(NUM_CLASSES):
             path = os.path.join(folder, str(i), 'ACE.npy')
             if os.path.exists(path):
-                codes[i] = np.load(path)
+                code = np.load(path)
+                if code.shape != codes[i].shape:
+                    import warnings
+                    warnings.warn(
+                        f'style fallback {path}: shape {code.shape} != '
+                        f'configured {codes[i].shape}; skipping',
+                        stacklevel=2)
+                    continue
+                codes[i] = code
         self.params = dict(self.params, style_fallback=jnp.asarray(codes))
 
     # ------------------------------------------------------------- functional
